@@ -1,0 +1,271 @@
+"""ViT / DeiT family, TPU-first.
+
+Capability parity with /root/reference/modeling/models/vit.py (ViT, ViT_Pruned,
+get_deit_{tiny,small,base}) and /root/reference/modeling/layers/* — re-designed
+as Flax modules whose hot math lives in edgevisiontransformer_tpu.ops so the
+XLA and Pallas paths are interchangeable.
+
+Two variants exist per SURVEY.md §2.1 #7:
+  * reference-style (``**REFERENCE_STYLE``): reproduces the TF reference's
+    pre-norm quirk ``fn(LN(x)) + LN(x)`` and 2-layer MLP classifier head.
+  * standard-style: real DeiT semantics, loadable from HF/timm weights.
+
+Pruned shapes (ViT_Pruned, vit.py:58-97) are expressed as *static* per-layer
+(heads, mlp_dim) tuples in the config, so XLA compiles shape-specialized
+programs — the TPU analogue of the reference's physically-shrunken GEMMs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import REFERENCE_STYLE, STANDARD_STYLE, ViTConfig, decode_prune_encoding
+from ..ops.activations import get_gelu
+from ..ops.attention import attention_xla
+from ..ops.layers import layer_norm, mlp_block, patch_embed
+
+
+class Attention(nn.Module):
+    """Fused-QKV multi-head self-attention (reference attention.py:5-36)."""
+
+    config: ViTConfig
+    layer_idx: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        heads = cfg.layer_heads(self.layer_idx)
+        head_dim = cfg.resolved_head_dim
+        dim = cfg.dim
+        inner = 3 * heads * head_dim
+
+        w_qkv = self.param(
+            "qkv_kernel", nn.initializers.xavier_uniform(), (dim, inner), cfg.param_dtype
+        )
+        b_qkv = (
+            self.param("qkv_bias", nn.initializers.zeros_init(), (inner,), cfg.param_dtype)
+            if cfg.qkv_bias
+            else None
+        )
+        w_out = self.param(
+            "out_kernel",
+            nn.initializers.xavier_uniform(),
+            (heads * head_dim, dim),
+            cfg.param_dtype,
+        )
+        b_out = self.param("out_bias", nn.initializers.zeros_init(), (dim,), cfg.param_dtype)
+
+        x = x.astype(cfg.dtype)
+        w_qkv = w_qkv.astype(cfg.dtype)
+        w_out = w_out.astype(cfg.dtype)
+        b_qkv_c = b_qkv.astype(cfg.dtype) if b_qkv is not None else None
+        b_out_c = b_out.astype(cfg.dtype)
+
+        if cfg.kernel_mode == "pallas":
+            from ..ops.pallas import fused_attention
+
+            return fused_attention.attention(
+                x, w_qkv, b_qkv_c, w_out, b_out_c, heads, head_dim
+            )
+        return attention_xla(x, w_qkv, b_qkv_c, w_out, b_out_c, heads, head_dim)
+
+
+class FeedForward(nn.Module):
+    """Dense(hidden, gelu) -> Dense(dim) (reference ffn.py:5-12)."""
+
+    config: ViTConfig
+    layer_idx: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        hidden = cfg.layer_mlp_dim(self.layer_idx)
+        dim = cfg.dim
+        w1 = self.param(
+            "fc1_kernel", nn.initializers.xavier_uniform(), (dim, hidden), cfg.param_dtype
+        )
+        b1 = self.param("fc1_bias", nn.initializers.zeros_init(), (hidden,), cfg.param_dtype)
+        w2 = self.param(
+            "fc2_kernel", nn.initializers.xavier_uniform(), (hidden, dim), cfg.param_dtype
+        )
+        b2 = self.param("fc2_bias", nn.initializers.zeros_init(), (dim,), cfg.param_dtype)
+
+        act = get_gelu(cfg.gelu_approx)
+        x = x.astype(cfg.dtype)
+        if cfg.kernel_mode == "pallas":
+            from ..ops.pallas import fused_mlp
+
+            return fused_mlp.mlp(
+                x,
+                w1.astype(cfg.dtype),
+                b1.astype(cfg.dtype),
+                w2.astype(cfg.dtype),
+                b2.astype(cfg.dtype),
+                approx_gelu=cfg.gelu_approx,
+            )
+        return mlp_block(
+            x,
+            w1.astype(cfg.dtype),
+            b1.astype(cfg.dtype),
+            w2.astype(cfg.dtype),
+            b2.astype(cfg.dtype),
+            act,
+        )
+
+
+class LayerNormP(nn.Module):
+    """Parameterized LayerNorm over last axis."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        gamma = self.param("scale", nn.initializers.ones_init(), (x.shape[-1],), cfg.param_dtype)
+        beta = self.param("bias", nn.initializers.zeros_init(), (x.shape[-1],), cfg.param_dtype)
+        return layer_norm(x, gamma, beta, cfg.layernorm_eps)
+
+
+class EncoderBlock(nn.Module):
+    """One pre-norm transformer block.
+
+    reference_residual=True reproduces LayerNorm(Residual(fn), pre=True) ==
+    ``fn(LN(x)) + LN(x)`` (reference norm.py:10-12 + residual.py:9); otherwise
+    the standard ``x + fn(LN(x))``.
+    """
+
+    config: ViTConfig
+    layer_idx: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        attn = Attention(cfg, self.layer_idx, name="attn")
+        ffn = FeedForward(cfg, self.layer_idx, name="ffn")
+        ln1 = LayerNormP(cfg, name="ln1")
+        ln2 = LayerNormP(cfg, name="ln2")
+        if cfg.reference_residual:
+            h = ln1(x)
+            x = attn(h) + h
+            h = ln2(x)
+            x = ffn(h) + h
+        else:
+            x = x + attn(ln1(x))
+            x = x + ffn(ln2(x))
+        return x
+
+
+class ViT(nn.Module):
+    """Vision Transformer encoder + classifier (reference vit.py:9-55)."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, img: jax.Array) -> jax.Array:
+        cfg = self.config
+        p, c, dim = cfg.patch_size, cfg.in_channels, cfg.dim
+        n = cfg.num_patches
+
+        w_patch = self.param(
+            "patch_kernel",
+            nn.initializers.xavier_uniform(),
+            (p * p * c, dim),
+            cfg.param_dtype,
+        )
+        b_patch = self.param(
+            "patch_bias", nn.initializers.zeros_init(), (dim,), cfg.param_dtype
+        )
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, dim), cfg.param_dtype
+        )
+        pos_embedding = self.param(
+            "pos_embedding", nn.initializers.normal(0.02), (n + 1, dim), cfg.param_dtype
+        )
+
+        img = img.astype(cfg.dtype)
+        x = patch_embed(img, w_patch.astype(cfg.dtype), b_patch.astype(cfg.dtype), p)
+
+        cls = jnp.broadcast_to(cls_token.astype(cfg.dtype), (x.shape[0], 1, dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + pos_embedding.astype(cfg.dtype)
+
+        for i in range(cfg.depth):
+            x = EncoderBlock(cfg, i, name=f"block_{i}")(x)
+
+        if cfg.final_norm:
+            x = LayerNormP(cfg, name="final_norm")(x)
+
+        x = x[:, 0]  # cls token
+
+        if cfg.mlp_head:
+            # Reference 2-layer head (vit.py:38-39).
+            h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="head_fc1")(x)
+            h = get_gelu(cfg.gelu_approx)(h)
+            return nn.Dense(
+                cfg.num_classes, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="head_fc2"
+            )(h)
+        return nn.Dense(
+            cfg.num_classes, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="head"
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# Factories (reference vit.py:100-109)
+# ---------------------------------------------------------------------------
+
+_DEIT_SHAPES = {
+    "tiny": dict(dim=192, depth=12, heads=3, mlp_dim=768),
+    "small": dict(dim=384, depth=12, heads=6, mlp_dim=1536),
+    "base": dict(dim=768, depth=12, heads=12, mlp_dim=3072),
+}
+
+
+def deit_config(size: str = "tiny", style: str = "standard", **overrides) -> ViTConfig:
+    """Build a DeiT config. style in {"standard", "reference"}."""
+    shape = _DEIT_SHAPES[size]
+    style_kw = REFERENCE_STYLE if style == "reference" else STANDARD_STYLE
+    return ViTConfig(**{**shape, **style_kw, **overrides})
+
+
+def get_deit_tiny(style: str = "standard", **kw) -> ViT:
+    return ViT(deit_config("tiny", style, **kw))
+
+
+def get_deit_small(style: str = "standard", **kw) -> ViT:
+    return ViT(deit_config("small", style, **kw))
+
+
+def get_deit_base(style: str = "standard", **kw) -> ViT:
+    return ViT(deit_config("base", style, **kw))
+
+
+def pruned_vit_config(
+    size: str = "tiny",
+    prune_encoding: str = "all_head12_ffn1.0",
+    head_dim: Optional[int] = 64,
+    style: str = "standard",
+    **overrides,
+) -> ViTConfig:
+    """ViT_Pruned analogue (reference vit.py:58-97): static per-layer shapes.
+
+    Note the reference fixes head_size=64 for pruned models regardless of the
+    unpruned dim/heads (transformer_encoder.py:31); we keep that default but
+    allow overriding.
+    """
+    base = deit_config(size, style, **overrides)
+    heads_per_layer, mlp_per_layer = decode_prune_encoding(
+        prune_encoding, base.depth, base.mlp_dim
+    )
+    return base.replace(
+        heads_per_layer=heads_per_layer,
+        mlp_dim_per_layer=mlp_per_layer,
+        head_dim=head_dim,
+    )
+
+
+def get_pruned_vit(**kw) -> ViT:
+    return ViT(pruned_vit_config(**kw))
