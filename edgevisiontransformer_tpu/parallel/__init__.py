@@ -1,0 +1,8 @@
+from .mesh import batch_spec, make_mesh, param_partition_spec, shard_params  # noqa: F401
+from .train import (  # noqa: F401
+    cross_entropy,
+    jit_sharded_train_step,
+    make_eval_step,
+    make_train_step,
+    scaled_lr,
+)
