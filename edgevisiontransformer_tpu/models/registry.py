@@ -11,6 +11,7 @@ from typing import Callable, Dict, Tuple
 
 import flax.linen as nn
 
+from .swin import get_swin
 from .t2t_vit import get_t2t_vit
 from .vit import get_deit_base, get_deit_small, get_deit_tiny, get_pruned_vit
 
@@ -53,3 +54,6 @@ for _size in ("tiny", "small", "base"):
 
 for _v in (7, 10, 12, 14):
     _REGISTRY[f"t2t_vit_{_v}"] = (lambda v: lambda **kw: get_t2t_vit(v, **kw))(_v)
+
+for _size in ("tiny", "small", "base"):
+    _REGISTRY[f"swin_{_size}"] = (lambda s: lambda **kw: get_swin(s, **kw))(_size)

