@@ -1,0 +1,88 @@
+"""Pallas kernels vs jnp reference numerics (interpret mode on CPU).
+
+The reference's fusion-test methodology (experiments.py:32-87) becomes our
+kernel acceptance tests: each fused kernel must match the XLA-path math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgevisiontransformer_tpu.ops import attention as attn_ref
+from edgevisiontransformer_tpu.ops import layers as layers_ref
+from edgevisiontransformer_tpu.ops.activations import get_gelu
+from edgevisiontransformer_tpu.ops.pallas import fused_attention, fused_mlp, layernorm
+
+
+@pytest.mark.parametrize("b,h,n,d", [(1, 3, 197, 64), (2, 2, 50, 32)])
+def test_pallas_sdpa_matches_reference(b, h, n, d):
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(ks[0], (b, h, n, d))
+    k = jax.random.normal(ks[1], (b, h, n, d))
+    v = jax.random.normal(ks[2], (b, h, n, d))
+    ref = attn_ref.sdpa(q, k, v)
+    got = fused_attention.sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_attention_block_matches_reference():
+    b, n, dim, h, d = 2, 197, 192, 3, 64
+    ks = jax.random.split(jax.random.key(1), 5)
+    x = jax.random.normal(ks[0], (b, n, dim))
+    w_qkv = jax.random.normal(ks[1], (dim, 3 * h * d)) * 0.05
+    b_qkv = jax.random.normal(ks[2], (3 * h * d,)) * 0.05
+    w_out = jax.random.normal(ks[3], (h * d, dim)) * 0.05
+    b_out = jax.random.normal(ks[4], (dim,)) * 0.05
+    ref = attn_ref.attention_xla(x, w_qkv, b_qkv, w_out, b_out, h, d)
+    got = fused_attention.attention(x, w_qkv, b_qkv, w_out, b_out, h, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("rows,dim,hidden", [(197, 192, 768), (64, 128, 256)])
+@pytest.mark.parametrize("approx", [True, False])
+def test_pallas_mlp_matches_reference(rows, dim, hidden, approx):
+    ks = jax.random.split(jax.random.key(2), 5)
+    x = jax.random.normal(ks[0], (2, rows, dim))
+    w1 = jax.random.normal(ks[1], (dim, hidden)) * 0.05
+    b1 = jax.random.normal(ks[2], (hidden,)) * 0.05
+    w2 = jax.random.normal(ks[3], (hidden, dim)) * 0.05
+    b2 = jax.random.normal(ks[4], (dim,)) * 0.05
+    ref = layers_ref.mlp_block(x, w1, b1, w2, b2, get_gelu(approx))
+    got = fused_mlp.mlp(x, w1, b1, w2, b2, approx_gelu=approx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("rows,dim", [(197, 192), (50, 64)])
+def test_pallas_layernorm_matches_reference(rows, dim):
+    ks = jax.random.split(jax.random.key(3), 3)
+    x = jax.random.normal(ks[0], (2, rows, dim)) * 3.0
+    g = jax.random.normal(ks[1], (dim,)) + 1.0
+    b = jax.random.normal(ks[2], (dim,))
+    ref = layers_ref.layer_norm(x, g, b, 1e-5)
+    got = layernorm.layer_norm(x, g, b, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_vit_pallas_mode_matches_xla_mode():
+    """End-to-end: whole DeiT forward with kernel_mode=pallas == xla."""
+    from edgevisiontransformer_tpu.models.vit import ViT, deit_config
+
+    cfg = deit_config("tiny").replace(
+        image_size=32, patch_size=16, dim=64, depth=2, heads=2, mlp_dim=128,
+        num_classes=10,
+    )
+    x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32))
+    model = ViT(cfg)
+    params = model.init(jax.random.key(1), x)
+    ref = model.apply(params, x)
+    got = ViT(cfg.replace(kernel_mode="pallas")).apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_sdpa_bf16():
+    q = jax.random.normal(jax.random.key(0), (1, 3, 197, 64), jnp.bfloat16)
+    ref = attn_ref.sdpa(q, q, q)
+    got = fused_attention.sdpa(q, q, q)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.05
+    )
