@@ -243,6 +243,55 @@ def get_deit_base(style: str = "standard", **kw) -> ViT:
     return ViT(deit_config("base", style, **kw))
 
 
+def fused_vit_apply(model: ViT, variables, img: jax.Array) -> jax.Array:
+    """Forward pass using the whole-encoder Pallas kernel.
+
+    Same params as ``model.apply`` (bit-for-bit interchangeable); the encoder
+    stack runs as one pallas_call (ops/pallas/fused_encoder.py) instead of
+    per-layer XLA ops.  Requires uniform per-layer shapes (unpruned models).
+    """
+    from ..ops.pallas.fused_encoder import encoder_forward, stack_vit_layer_params
+
+    cfg = model.config
+    if cfg.heads_per_layer is not None or cfg.mlp_dim_per_layer is not None:
+        raise ValueError("fused encoder requires uniform per-layer shapes")
+    p = variables["params"]
+
+    img = img.astype(cfg.dtype)
+    x = patch_embed(
+        img,
+        p["patch_kernel"].astype(cfg.dtype),
+        p["patch_bias"].astype(cfg.dtype),
+        cfg.patch_size,
+    )
+    cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
+    x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
+
+    stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
+    stacked = jax.tree.map(lambda a: a.astype(cfg.dtype), stacked)
+    x = encoder_forward(
+        x,
+        stacked,
+        heads=cfg.heads,
+        head_dim=cfg.resolved_head_dim,
+        eps=cfg.layernorm_eps,
+        reference_residual=cfg.reference_residual,
+        approx_gelu=cfg.gelu_approx,
+    )
+
+    if cfg.final_norm:
+        x = layer_norm(
+            x, p["final_norm"]["scale"], p["final_norm"]["bias"], cfg.layernorm_eps
+        )
+    x = x[:, 0]
+    act = get_gelu(cfg.gelu_approx)
+    if cfg.mlp_head:
+        h = x @ p["head_fc1"]["kernel"].astype(cfg.dtype) + p["head_fc1"]["bias"].astype(cfg.dtype)
+        h = act(h)
+        return h @ p["head_fc2"]["kernel"].astype(cfg.dtype) + p["head_fc2"]["bias"].astype(cfg.dtype)
+    return x @ p["head"]["kernel"].astype(cfg.dtype) + p["head"]["bias"].astype(cfg.dtype)
+
+
 def pruned_vit_config(
     size: str = "tiny",
     prune_encoding: str = "all_head12_ffn1.0",

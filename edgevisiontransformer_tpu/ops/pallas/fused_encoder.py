@@ -1,0 +1,244 @@
+"""Whole-encoder fused Pallas kernel for ViT-family models.
+
+The batch-1 ViT forward is latency-bound: XLA runs ~50 small ops per layer
+with HBM round-trips between them (measured: DeiT-Tiny b1 at 36% of
+roofline).  This kernel executes the ENTIRE pre-norm encoder — all layers of
+LN1 -> fused-QKV attention -> residual -> LN2 -> GELU-MLP -> residual — as a
+single pallas_call with grid (batch, depth):
+
+* the token activation [n_pad, dim] lives in a VMEM scratch that persists
+  across layer grid-steps (TPU grid execution is sequential);
+* per-layer weights are streamed HBM->VMEM by the BlockSpec pipeline
+  (double-buffered by Mosaic) while the current layer computes;
+* the [n_pad, n_pad] fp32 score matrices never exist outside VMEM;
+* softmax/LN statistics in fp32; matmuls accumulate fp32 on the MXU.
+
+Supports both residual conventions (standard ``x + fn(LN(x))`` and the
+reference quirk ``fn(LN(x)) + LN(x)``, /root/reference/modeling/layers/
+norm.py:10-12 + residual.py:9) and both GELU variants.
+
+VMEM budget (bf16 weights, double-buffered): DeiT-Tiny 2·0.9 MB,
+DeiT-Small 2·3.5 MB — fits; DeiT-Base (2·14 MB) does not and falls back to
+the XLA path at model level.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import round_up, use_interpret
+from .mathlib import gelu_kernel
+
+
+def _ln(x, g, b, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32) + b.astype(
+        jnp.float32
+    )
+
+
+def _encoder_kernel(
+    x_ref,
+    ln1_g_ref, ln1_b_ref, qkv_w_ref, qkv_b_ref, out_w_ref, out_b_ref,
+    ln2_g_ref, ln2_b_ref, fc1_w_ref, fc1_b_ref, fc2_w_ref, fc2_b_ref,
+    o_ref,
+    x_scratch,
+    *,
+    heads: int,
+    head_dim: int,
+    seq_len: int,
+    eps: float,
+    scale: float,
+    reference_residual: bool,
+    approx_gelu: bool,
+):
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        x_scratch[:] = x_ref[0]
+
+    x = x_scratch[:]
+    dtype = x.dtype
+
+    # ---- attention sublayer ----
+    h = _ln(x, ln1_g_ref[0], ln1_b_ref[0], eps).astype(dtype)
+    qkv = (
+        jax.lax.dot(h, qkv_w_ref[0], preferred_element_type=jnp.float32)
+        + qkv_b_ref[0].astype(jnp.float32)
+    ).astype(dtype)  # [n_pad, 3*h*hd], fused axis ordered (qkv, head, hd)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (qkv.shape[0], qkv.shape[0]), 1)
+    key_mask = col < seq_len
+
+    att_parts = []
+    hd = head_dim
+    for i in range(heads):
+        q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
+        k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
+        v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(key_mask, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        att_parts.append(
+            jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
+        )
+    att = jnp.concatenate(att_parts, axis=-1).astype(dtype)  # [n_pad, h*hd]
+
+    attn_out = (
+        jax.lax.dot(att, out_w_ref[0], preferred_element_type=jnp.float32)
+        + out_b_ref[0].astype(jnp.float32)
+    )
+    if reference_residual:
+        x = (attn_out + h.astype(jnp.float32)).astype(dtype)
+    else:
+        x = (attn_out + x.astype(jnp.float32)).astype(dtype)
+
+    # ---- MLP sublayer ----
+    h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
+    hid = (
+        jax.lax.dot(h2, fc1_w_ref[0], preferred_element_type=jnp.float32)
+        + fc1_b_ref[0].astype(jnp.float32)
+    )
+    hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+    mlp_out = (
+        jax.lax.dot(hid, fc2_w_ref[0], preferred_element_type=jnp.float32)
+        + fc2_b_ref[0].astype(jnp.float32)
+    )
+    if reference_residual:
+        x = (mlp_out + h2.astype(jnp.float32)).astype(dtype)
+    else:
+        x = (mlp_out + x.astype(jnp.float32)).astype(dtype)
+
+    x_scratch[:] = x
+
+    @pl.when(li == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0] = x
+
+
+def encoder_forward(
+    x: jax.Array,
+    stacked: dict,
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    reference_residual: bool = False,
+    approx_gelu: bool = False,
+) -> jax.Array:
+    """Run the full encoder. x: [b, n, dim]; stacked: dict of [L, ...] arrays
+    with keys ln1_g ln1_b qkv_w qkv_b out_w out_b ln2_g ln2_b fc1_w fc1_b
+    fc2_w fc2_b (qkv_b may be zeros)."""
+    b, n, dim = x.shape
+    depth = stacked["qkv_w"].shape[0]
+    inner = stacked["qkv_w"].shape[2]
+    mlp = stacked["fc1_w"].shape[2]
+    n_pad = round_up(n, 128)
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    def wspec(shape):
+        # per-layer weight block: leading L axis indexed by layer grid dim
+        return pl.BlockSpec(
+            (1,) + shape, lambda bi, li: (li,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _encoder_kernel,
+        heads=heads,
+        head_dim=head_dim,
+        seq_len=n,
+        eps=eps,
+        scale=head_dim**-0.5,
+        reference_residual=reference_residual,
+        approx_gelu=approx_gelu,
+    )
+
+    flops = depth * b * 2 * n_pad * (dim * inner + 2 * n_pad * head_dim * heads + head_dim * heads * dim + 2 * dim * mlp)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, depth),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, dim), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM),
+            wspec((1, dim)),         # ln1_g
+            wspec((1, dim)),         # ln1_b
+            wspec((dim, inner)),     # qkv_w
+            wspec((1, inner)),       # qkv_b
+            wspec((heads * head_dim, dim)),  # out_w
+            wspec((1, dim)),         # out_b
+            wspec((1, dim)),         # ln2_g
+            wspec((1, dim)),         # ln2_b
+            wspec((dim, mlp)),       # fc1_w
+            wspec((1, mlp)),         # fc1_b
+            wspec((mlp, dim)),       # fc2_w
+            wspec((1, dim)),         # fc2_b
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_pad, dim), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((n_pad, dim), x.dtype)],
+        interpret=use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                depth * (dim * inner + heads * head_dim * dim + 2 * dim * mlp)
+                * x.dtype.itemsize
+            ),
+            transcendentals=depth * b * n_pad * (n_pad * heads + mlp),
+        ),
+    )(
+        xp,
+        stacked["ln1_g"], stacked["ln1_b"],
+        stacked["qkv_w"], stacked["qkv_b"],
+        stacked["out_w"], stacked["out_b"],
+        stacked["ln2_g"], stacked["ln2_b"],
+        stacked["fc1_w"], stacked["fc1_b"],
+        stacked["fc2_w"], stacked["fc2_b"],
+    )
+    return out[:, :n, :]
+
+
+def stack_vit_layer_params(params: dict, depth: int, qkv_bias: bool) -> dict:
+    """Stack per-block flax params into [L, ...] arrays for encoder_forward.
+
+    params: the "params" sub-tree of a ViT variables dict (models/vit.py).
+    """
+    def stack(getter):
+        arrs = [getter(params[f"block_{i}"]) for i in range(depth)]
+        out = jnp.stack(arrs)
+        if out.ndim == 2:  # [L, dim] vectors -> [L, 1, dim] for 2D VMEM blocks
+            out = out[:, None, :]
+        return out
+
+    inner = params["block_0"]["attn"]["qkv_kernel"].shape[1]
+    return {
+        "ln1_g": stack(lambda b: b["ln1"]["scale"]),
+        "ln1_b": stack(lambda b: b["ln1"]["bias"]),
+        "qkv_w": stack(lambda b: b["attn"]["qkv_kernel"]),
+        "qkv_b": stack(lambda b: b["attn"]["qkv_bias"]) if qkv_bias
+        else jnp.zeros((depth, 1, inner), params["block_0"]["attn"]["qkv_kernel"].dtype),
+        "out_w": stack(lambda b: b["attn"]["out_kernel"]),
+        "out_b": stack(lambda b: b["attn"]["out_bias"]),
+        "ln2_g": stack(lambda b: b["ln2"]["scale"]),
+        "ln2_b": stack(lambda b: b["ln2"]["bias"]),
+        "fc1_w": stack(lambda b: b["ffn"]["fc1_kernel"]),
+        "fc1_b": stack(lambda b: b["ffn"]["fc1_bias"]),
+        "fc2_w": stack(lambda b: b["ffn"]["fc2_kernel"]),
+        "fc2_b": stack(lambda b: b["ffn"]["fc2_bias"]),
+    }

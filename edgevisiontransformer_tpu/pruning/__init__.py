@@ -1,0 +1,10 @@
+from .apply import mask_heads_params, prune_ffn_params, prune_heads_params  # noqa: F401
+from .head_importance import calculate_head_importance, head_importance_batch  # noqa: F401
+from .policy import (  # noqa: F401
+    determine_pruning_sequence,
+    load_head_importance_txt,
+    parse_head_pruning_descriptors,
+    save_head_importance_txt,
+    to_pruning_descriptor,
+    what_to_prune,
+)
