@@ -1,15 +1,17 @@
 """Whole-encoder fused Pallas kernel for ViT-family models.
 
 The batch-1 ViT forward is latency-bound: XLA runs ~50 small ops per layer
-with HBM round-trips between them (measured: DeiT-Tiny b1 at 36% of
-roofline).  This kernel executes the ENTIRE pre-norm encoder — all layers of
-LN1 -> fused-QKV attention -> residual -> LN2 -> GELU-MLP -> residual — as a
-single pallas_call with grid (batch, depth):
+with HBM round-trips between them.  This kernel executes the ENTIRE pre-norm
+encoder — every layer of LN1 -> fused-QKV attention -> residual -> LN2 ->
+GELU-MLP -> residual — as a single pallas_call with grid
+(batch_blocks, depth):
 
-* the token activation [n_pad, dim] lives in a VMEM scratch that persists
-  across layer grid-steps (TPU grid execution is sequential);
+* a block of ``bm`` images' token activations [bm*n_pad, dim] lives in a
+  VMEM scratch that persists across layer grid-steps (TPU grid execution is
+  sequential, batch-major);
 * per-layer weights are streamed HBM->VMEM by the BlockSpec pipeline
-  (double-buffered by Mosaic) while the current layer computes;
+  (double-buffered by Mosaic); batching bm images per program divides weight
+  traffic by bm and feeds the MXU [bm*n_pad, dim] matmuls;
 * the [n_pad, n_pad] fp32 score matrices never exist outside VMEM;
 * softmax/LN statistics in fp32; matmuls accumulate fp32 on the MXU.
 
@@ -17,19 +19,17 @@ Supports both residual conventions (standard ``x + fn(LN(x))`` and the
 reference quirk ``fn(LN(x)) + LN(x)``, /root/reference/modeling/layers/
 norm.py:10-12 + residual.py:9) and both GELU variants.
 
-VMEM budget (bf16 weights, double-buffered): DeiT-Tiny 2·0.9 MB,
-DeiT-Small 2·3.5 MB — fits; DeiT-Base (2·14 MB) does not and falls back to
+VMEM budget (bf16 weights, double-buffered): DeiT-Tiny 2*0.9 MB,
+DeiT-Small 2*3.5 MB — fits; DeiT-Base (2*14 MB) does not and falls back to
 the XLA path at model level.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,6 +53,8 @@ def _encoder_kernel(
     o_ref,
     x_scratch,
     *,
+    bm: int,
+    n_pad: int,
     heads: int,
     head_dim: int,
     seq_len: int,
@@ -65,9 +67,9 @@ def _encoder_kernel(
 
     @pl.when(li == 0)
     def _():
-        x_scratch[:] = x_ref[0]
+        x_scratch[:] = x_ref[:]
 
-    x = x_scratch[:]
+    x = x_scratch[:]  # [bm*n_pad, dim]
     dtype = x.dtype
 
     # ---- attention sublayer ----
@@ -75,28 +77,32 @@ def _encoder_kernel(
     qkv = (
         jax.lax.dot(h, qkv_w_ref[0], preferred_element_type=jnp.float32)
         + qkv_b_ref[0].astype(jnp.float32)
-    ).astype(dtype)  # [n_pad, 3*h*hd], fused axis ordered (qkv, head, hd)
+    ).astype(dtype)  # [bm*n_pad, 3*h*hd], fused axis ordered (qkv, head, hd)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (qkv.shape[0], qkv.shape[0]), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
     key_mask = col < seq_len
 
-    att_parts = []
     hd = head_dim
-    for i in range(heads):
-        q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
-        k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
-        v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        s = jnp.where(key_mask, s, -1e30)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        att_parts.append(
-            jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
-        )
-    att = jnp.concatenate(att_parts, axis=-1).astype(dtype)  # [n_pad, h*hd]
+    att_rows = []
+    for j in range(bm):
+        row0 = j * n_pad
+        att_parts = []
+        for i in range(heads):
+            q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
+            k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
+            v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            s = jnp.where(key_mask, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            att_parts.append(
+                jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
+            )
+        att_rows.append(jnp.concatenate(att_parts, axis=-1))
+    att = jnp.concatenate(att_rows, axis=0).astype(dtype)  # [bm*n_pad, h*hd]
 
     attn_out = (
         jax.lax.dot(att, out_w_ref[0], preferred_element_type=jnp.float32)
@@ -127,7 +133,7 @@ def _encoder_kernel(
 
     @pl.when(li == pl.num_programs(1) - 1)
     def _():
-        o_ref[0] = x
+        o_ref[:] = x
 
 
 def encoder_forward(
@@ -139,16 +145,24 @@ def encoder_forward(
     eps: float,
     reference_residual: bool = False,
     approx_gelu: bool = False,
+    batch_block: int | None = None,
 ) -> jax.Array:
     """Run the full encoder. x: [b, n, dim]; stacked: dict of [L, ...] arrays
     with keys ln1_g ln1_b qkv_w qkv_b out_w out_b ln2_g ln2_b fc1_w fc1_b
-    fc2_w fc2_b (qkv_b may be zeros)."""
+    fc2_w fc2_b (vectors stored [L, 1, d]; qkv_b may be zeros)."""
     b, n, dim = x.shape
     depth = stacked["qkv_w"].shape[0]
     inner = stacked["qkv_w"].shape[2]
     mlp = stacked["fc1_w"].shape[2]
     n_pad = round_up(n, 128)
-    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    bm = batch_block if batch_block is not None else (8 if b >= 8 else b)
+    bm = min(bm, b)
+    b_pad = round_up(b, bm)
+
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    # flatten to rows so each program sees [bm*n_pad, dim]
+    xp = xp.reshape(b_pad * n_pad, dim)
 
     def wspec(shape):
         # per-layer weight block: leading L axis indexed by layer grid dim
@@ -159,6 +173,8 @@ def encoder_forward(
 
     kernel = functools.partial(
         _encoder_kernel,
+        bm=bm,
+        n_pad=n_pad,
         heads=heads,
         head_dim=head_dim,
         seq_len=n,
@@ -168,13 +184,17 @@ def encoder_forward(
         approx_gelu=approx_gelu,
     )
 
-    flops = depth * b * 2 * n_pad * (dim * inner + 2 * n_pad * head_dim * heads + head_dim * heads * dim + 2 * dim * mlp)
+    flops = depth * b_pad * 2 * n_pad * (
+        dim * inner + 2 * n_pad * head_dim * heads + head_dim * heads * dim + 2 * dim * mlp
+    )
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, depth),
+        grid=(b_pad // bm, depth),
         in_specs=[
-            pl.BlockSpec((1, n_pad, dim), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bm * n_pad, dim), lambda bi, li: (bi, 0), memory_space=pltpu.VMEM
+            ),
             wspec((1, dim)),         # ln1_g
             wspec((1, dim)),         # ln1_b
             wspec((dim, inner)),     # qkv_w
@@ -189,18 +209,18 @@ def encoder_forward(
             wspec((1, dim)),         # fc2_b
         ],
         out_specs=pl.BlockSpec(
-            (1, n_pad, dim), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM
+            (bm * n_pad, dim), lambda bi, li: (bi, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, dim), x.dtype),
-        scratch_shapes=[pltpu.VMEM((n_pad, dim), x.dtype)],
+        out_shape=jax.ShapeDtypeStruct((b_pad * n_pad, dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm * n_pad, dim), x.dtype)],
         interpret=use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=int(
                 depth * (dim * inner + heads * head_dim * dim + 2 * dim * mlp)
-                * x.dtype.itemsize
+                * x.dtype.itemsize * (b_pad // bm)
             ),
-            transcendentals=depth * b * n_pad * (n_pad * heads + mlp),
+            transcendentals=depth * b_pad * n_pad * (n_pad * heads + mlp),
         ),
     )(
         xp,
@@ -211,18 +231,19 @@ def encoder_forward(
         stacked["fc1_w"], stacked["fc1_b"],
         stacked["fc2_w"], stacked["fc2_b"],
     )
-    return out[:, :n, :]
+    return out.reshape(b_pad, n_pad, dim)[:b, :n, :]
 
 
 def stack_vit_layer_params(params: dict, depth: int, qkv_bias: bool) -> dict:
     """Stack per-block flax params into [L, ...] arrays for encoder_forward.
 
     params: the "params" sub-tree of a ViT variables dict (models/vit.py).
+    Vectors become [L, 1, d] so their VMEM blocks have a 2D trailing shape.
     """
     def stack(getter):
         arrs = [getter(params[f"block_{i}"]) for i in range(depth)]
         out = jnp.stack(arrs)
-        if out.ndim == 2:  # [L, dim] vectors -> [L, 1, dim] for 2D VMEM blocks
+        if out.ndim == 2:  # [L, dim] vectors -> [L, 1, dim]
             out = out[:, None, :]
         return out
 

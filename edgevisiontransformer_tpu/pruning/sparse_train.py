@@ -1,0 +1,89 @@
+"""Sparse (movement-pruning) training loop pieces.
+
+Replaces the reference's SparseTrainer/HF-Trainer stack
+(/root/reference/deit_pruning/vendor/.../sparse_trainer.py:85-128,
+deit_pruning/src/trainer.py:48-121) with one jit-compiled step:
+
+  loss = task_ce (+ distillation) + regu_mul * regularization
+  grads flow to weights AND mask scores (STE through the binarizers);
+  mask scores get their own optimizer/lr (the reference's mask-lr param
+  group, patch_coordinator.py:669-704).
+
+The per-step thresholds come from schedule_thresholds() on the host (pure
+python, like SparseTrainer.training_step -> schedule_threshold) and are fed
+in as a [depth, 2] array so the jitted step never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ViTConfig
+from ..parallel.train import cross_entropy
+from .movement import SparseConfig, apply_masks, distillation_loss, regularization_loss
+
+
+@dataclasses.dataclass
+class SparseTrainState:
+    params: Any
+    mask_scores: Any
+    opt_state_p: Any
+    opt_state_s: Any
+    step: int = 0
+
+
+def init_sparse_state(
+    params, mask_scores, opt_params: optax.GradientTransformation,
+    opt_scores: optax.GradientTransformation,
+) -> SparseTrainState:
+    return SparseTrainState(
+        params=params,
+        mask_scores=mask_scores,
+        opt_state_p=opt_params.init(params),
+        opt_state_s=opt_scores.init(mask_scores),
+        step=0,
+    )
+
+
+def make_sparse_train_step(
+    apply_fn: Callable,
+    cfg: ViTConfig,
+    sparse: SparseConfig,
+    opt_params: optax.GradientTransformation,
+    opt_scores: optax.GradientTransformation,
+    teacher_apply: Optional[Callable] = None,
+):
+    """Returns jittable step(params, scores, opt_p, opt_s, images, labels,
+    thresholds[depth,2], regu_mul) -> (params, scores, opt_p, opt_s, metrics).
+    """
+
+    def loss_fn(params, scores, images, labels, thresholds, regu_mul):
+        thr_list = [(thresholds[i, 0], thresholds[i, 1]) for i in range(cfg.depth)]
+        masked = apply_masks(cfg, params, scores, thr_list, sparse)
+        logits = apply_fn(masked, images)
+        ce = cross_entropy(logits, labels)
+        loss = ce
+        if teacher_apply is not None:
+            t_logits = jax.lax.stop_gradient(teacher_apply(images))
+            loss = distillation_loss(
+                logits, t_logits, ce, sparse.distil_alpha, sparse.distil_temperature
+            )
+        regu = regularization_loss(scores, sparse, regu_mul)
+        return loss + regu, {"ce": ce, "loss": loss, "regu": regu}
+
+    def step(params, scores, opt_p, opt_s, images, labels, thresholds, regu_mul):
+        (_, metrics), (gp, gs) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, scores, images, labels, thresholds, regu_mul)
+        up, opt_p = opt_params.update(gp, opt_p, params)
+        params = optax.apply_updates(params, up)
+        us, opt_s = opt_scores.update(gs, opt_s, scores)
+        scores = optax.apply_updates(scores, us)
+        return params, scores, opt_p, opt_s, metrics
+
+    return step
