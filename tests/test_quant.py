@@ -1,0 +1,89 @@
+"""Quantization tests: int8 roundtrip error bounds, dynamic matmul accuracy,
+whole-model int8 accuracy drift, calibration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgevisiontransformer_tpu.models.vit import ViT, deit_config
+from edgevisiontransformer_tpu.ops.quant import (
+    calibrate_activation_scales,
+    cast_params,
+    dequantize_weight_int8,
+    int8_matmul_dynamic,
+    int8_vit_apply,
+    quantize_activation_rows,
+    quantize_vit_params_int8,
+    quantize_weight_int8,
+    representative_batches,
+)
+
+
+def test_weight_quant_roundtrip_error():
+    w = jax.random.normal(jax.random.key(0), (64, 32))
+    q, s = quantize_weight_int8(w)
+    assert q.dtype == jnp.int8
+    back = dequantize_weight_int8(q, s)
+    err = np.abs(np.asarray(back - w))
+    # per-channel symmetric: max error <= scale/2 per channel
+    assert (err <= np.asarray(s)[None, :] * 0.5 + 1e-7).all()
+
+
+def test_weight_quant_zero_channel():
+    w = jnp.zeros((8, 4)).at[:, 1].set(1.0)
+    q, s = quantize_weight_int8(w)
+    assert np.asarray(s)[0] == 1.0  # zero channel -> scale 1, no NaN
+    assert (np.asarray(q)[:, 0] == 0).all()
+
+
+def test_activation_row_quant():
+    x = jnp.array([[1.0, -2.0, 0.5], [100.0, 50.0, -100.0]])
+    q, s = quantize_activation_rows(x)
+    np.testing.assert_allclose(np.asarray(s).ravel(), [2.0 / 127, 100.0 / 127])
+    assert np.asarray(q)[0, 1] == -127
+
+
+def test_int8_matmul_dynamic_close_to_float():
+    x = jax.random.normal(jax.random.key(0), (16, 64))
+    w = jax.random.normal(jax.random.key(1), (64, 32)) * 0.1
+    wq, ws = quantize_weight_int8(w)
+    got = int8_matmul_dynamic(x, wq, ws)
+    ref = x @ w
+    rel = np.abs(np.asarray(got - ref)).max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.05, rel
+
+
+def test_int8_vit_apply_close_to_float():
+    cfg = deit_config("tiny").replace(
+        image_size=32, patch_size=16, dim=64, depth=2, heads=2, mlp_dim=128,
+        num_classes=10,
+    )
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32))
+    params = model.init(jax.random.key(1), x)
+    qparams = quantize_vit_params_int8(params)
+    # quantized kernels really are int8
+    assert qparams["params"]["block_0"]["attn"]["qkv_kernel"]["q"].dtype == jnp.int8
+    ref = np.asarray(model.apply(params, x))
+    got = np.asarray(int8_vit_apply(model, qparams, x))
+    # top-1 agreement is the metric that matters
+    assert (ref.argmax(-1) == got.argmax(-1)).all()
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.1, rel
+
+
+def test_cast_params_dtype():
+    params = {"a": jnp.ones((2, 2)), "b": jnp.arange(3)}
+    out = cast_params(params, jnp.float16)
+    assert out["a"].dtype == jnp.float16
+    assert out["b"].dtype == jnp.int32  # ints untouched
+
+
+def test_calibration():
+    def collect(x):
+        return {"input": x, "double": 2.0 * x}
+
+    scales = calibrate_activation_scales(collect, representative_batches(3, 1, (4,)))
+    assert scales["double"] == pytest.approx(2 * scales["input"], rel=1e-6)
+    assert scales["input"] > 0
