@@ -1,0 +1,89 @@
+"""Profiler CSV + analyser roundtrip tests (CPU; timings meaningless but the
+schema/aggregation logic is what's under test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgevisiontransformer_tpu.bench.analyse import (
+    analyse_attn_ffn,
+    analyse_gelu_ln,
+    analyse_op,
+    fetch_all_op_latency,
+    find_op_wise_range,
+)
+from edgevisiontransformer_tpu.bench.profile import profile_vit, write_profile_csv
+from edgevisiontransformer_tpu.models.vit import ViT, deit_config
+
+
+def _make_csv(tmp_path):
+    cfg = deit_config("tiny").replace(
+        image_size=32, patch_size=16, dim=64, depth=2, heads=2, mlp_dim=128,
+        num_classes=10,
+    )
+    model = ViT(cfg)
+    x = jnp.ones((1, 3, 32, 32))
+    params = model.init(jax.random.key(0), x)
+    rows, total = profile_vit(model, params, x, iters=3, repeats=1)
+    path = str(tmp_path / "profile.csv")
+    write_profile_csv(path, rows, total)
+    return path, rows, total
+
+
+def test_profile_and_analyse_roundtrip(tmp_path):
+    path, rows, total = _make_csv(tmp_path)
+    # schema found
+    import csv as _csv
+
+    with open(path) as f:
+        raw = list(_csv.reader(f))
+    b, e, schema = find_op_wise_range(raw)
+    assert {"node type", "name", "avg_ms", "%", "start"} <= set(schema)
+    assert e - b == len(rows)
+
+    table = analyse_op(path)
+    assert "FULLY_CONNECTED" in table and "ATTENTION" in table
+    # aggregated latency equals sum of rows
+    agg = sum(v["latency"] for v in table.values())
+    np.testing.assert_allclose(agg, sum(r["avg_ms"] for r in rows), rtol=1e-4)
+
+
+def test_attn_ffn_split(tmp_path):
+    path, rows, _ = _make_csv(tmp_path)
+    split = analyse_attn_ffn(path)
+    attn_expected = sum(r["avg_ms"] for r in rows if "/attn/" in r["name"])
+    np.testing.assert_allclose(split["attention_ms"], attn_expected, rtol=1e-4)
+    ffn_expected = sum(r["avg_ms"] for r in rows if "/ffn/" in r["name"])
+    np.testing.assert_allclose(split["ffn_ms"], ffn_expected, rtol=1e-4)
+
+
+def test_gelu_ln_and_series(tmp_path):
+    path, rows, _ = _make_csv(tmp_path)
+    g = analyse_gelu_ln(path)
+    # CPU loop-delta times can legitimately be 0.0 for tiny ops; check the
+    # aggregation picked up the right row classes instead of positivity.
+    ln_expected = sum(r["avg_ms"] for r in rows if r["node_type"] == "LAYER_NORM")
+    np.testing.assert_allclose(g["layernorm_ms"], ln_expected, rtol=1e-4, atol=1e-9)
+    gelu_expected = sum(r["avg_ms"] for r in rows if r["node_type"] == "GELU_MLP")
+    np.testing.assert_allclose(g["gelu_ms"], gelu_expected, rtol=1e-4, atol=1e-9)
+    series = fetch_all_op_latency(path)
+    assert len(series) == len(rows)
+    assert series[0][0] == rows[0]["name"]  # ordered by start
+
+
+def test_reference_style_csv_flex_renaming(tmp_path):
+    """Analyser must also parse reference-format CSVs incl. Flex rows."""
+    path = str(tmp_path / "ref.csv")
+    with open(path, "w") as f:
+        f.write(
+            "junk line\n"
+            "Operator-wise Profiling Info for Regular Benchmark Run\n"
+            "\n"
+            "node type,name,avg_ms,%,start\n"
+            "TfLiteFlexDelegate,model/roll_1:0,1.5,10%,0.0\n"
+            "CONV_2D,model/conv,3.0,20%,1.5\n"
+            "\n"
+        )
+    table = analyse_op(path, model_type="swin")
+    assert table["ROLL"]["latency"] == 1.5
+    assert table["CONV_2D"]["percent"] == 20.0
