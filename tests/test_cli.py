@@ -1,0 +1,59 @@
+"""CLI smoke tests (subprocess-free: call main() directly on CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from edgevisiontransformer_tpu.cli import main
+
+
+def test_models_list(capsys):
+    assert main(["models"]) == 0
+    out = capsys.readouterr().out
+    assert "deit_tiny" in out and "swin_base" in out and "t2t_vit_14" in out
+
+
+def test_help():
+    assert main([]) == 0
+    assert main(["bogus_command"]) == 1
+
+
+def test_flops_cmd(capsys):
+    assert main(["flops"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data["model_flops"]["deit_tiny"] == 2548260836
+
+
+def test_analyse_op_cmd(tmp_path, capsys):
+    f = tmp_path / "p.csv"
+    f.write_text(
+        "x\nOperator-wise Profiling Info for Regular Benchmark Run\n\n"
+        "node type,name,avg_ms,%,start\nSOFTMAX,a,1.0,50%,0\nSOFTMAX,b,1.0,50%,1\n\n"
+    )
+    assert main(["analyse_op", "--file", str(f)]) == 0
+    out = capsys.readouterr().out
+    assert "SOFTMAX" in out and "2.00" in out
+
+
+def test_prune_heads_cmd(tmp_path, capsys):
+    imp = tmp_path / "imp.txt"
+    np.savetxt(imp, np.random.RandomState(0).rand(12, 3))
+    assert main([
+        "prune_heads", "--model", "deit_tiny", "--importance-file", str(imp),
+        "--prune-percent", "30",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "heads_per_layer" in out
+
+
+def test_convert_cmd(tmp_path, capsys):
+    out_dir = tmp_path / "ckpt"
+    assert main([
+        "convert", "--model", "deit_tiny", "--quantization", "dynamic",
+        "--output", str(out_dir),
+    ]) == 0
+    assert (out_dir / "meta.json").exists()
+    meta = json.loads((out_dir / "meta.json").read_text())
+    assert meta["quantization"] == "dynamic"
