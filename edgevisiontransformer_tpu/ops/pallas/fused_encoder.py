@@ -156,7 +156,12 @@ def encoder_forward(
     mlp = stacked["fc1_w"].shape[2]
     n_pad = round_up(n, 128)
 
-    bm = batch_block if batch_block is not None else (8 if b >= 8 else b)
+    if batch_block is not None:
+        bm = batch_block
+    else:
+        # VMEM-scaled default: bm=8 fits DeiT-Tiny (dim 192); halve as width
+        # doubles (measured: bm=8 at dim 384 overflows the 16 MB scoped vmem).
+        bm = max(1, (8 * 192) // dim)
     bm = min(bm, b)
     b_pad = round_up(b, bm)
 

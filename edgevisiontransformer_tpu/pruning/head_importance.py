@@ -52,7 +52,8 @@ def vit_forward_head_mask(
             qkv = qkv + blk["attn"]["qkv_bias"]
         q, k, v = qkv_split(qkv, heads, hd)
         ctx = sdpa(q, k, v, scale=hd**-0.5)  # [b, h, n, d]
-        ctx = ctx * head_mask[i][:, :, :, None]
+        # mask rows 0..heads-1 (pruned models have fewer heads than the mask)
+        ctx = ctx * head_mask[i][:, :heads, :, None]
         attn_out = merge_heads(ctx) @ blk["attn"]["out_kernel"] + blk["attn"]["out_bias"]
         x = (attn_out + h) if cfg.reference_residual else (x + attn_out)
 
