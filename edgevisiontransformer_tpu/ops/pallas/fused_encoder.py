@@ -159,9 +159,10 @@ def encoder_forward(
     if batch_block is not None:
         bm = batch_block
     else:
-        # VMEM-scaled default: bm=8 fits DeiT-Tiny (dim 192); halve as width
-        # doubles (measured: bm=8 at dim 384 overflows the 16 MB scoped vmem).
-        bm = max(1, (8 * 192) // dim)
+        # VMEM-scaled default: bm=8 fits DeiT-Tiny (dim 192); intermediates
+        # grow ~dim^2 so quarter as width doubles (measured: bm=4 at dim 384
+        # still overflows the 16 MB scoped vmem; bm=2 fits).
+        bm = max(1, (8 * 192 * 192) // (dim * dim))
     bm = min(bm, b)
     b_pad = round_up(b, bm)
 

@@ -1,0 +1,162 @@
+"""Latency predictor over pruned-config features.
+
+Port of /root/reference/deit_pruning/src/latency_model.py:27-92 +
+get_latency.py:34-152: a RandomForest over per-layer (heads, density)
+features parsed from the "h_4_d_0.4-..." DSL, with RMSE/RMSPE/±5/10/15%
+accuracy metrics and pickled persistence.
+
+The reference collected training latencies by ONNX-exporting random supernet
+configs and benchmarking on phones; here the sampler produces random
+layerwise prune encodings and the measurement callback benchmarks the
+shape-specialized model on the TPU (bench.looptimer) — same feature space,
+native measurement path.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def parse_features(encoding: str) -> List[float]:
+    """"h_4_d_0.4-h_2_d_0.3-..." -> flat [h0, d0, h1, d1, ...]
+    (reference get_feature, latency_model.py:27-36)."""
+    out: List[float] = []
+    for layer in encoding.split("-"):
+        items = layer.split("_")
+        out.append(float(items[1]))
+        out.append(float(items[-1]))
+    return out
+
+
+def format_features(heads: Sequence[int], densities: Sequence[float]) -> str:
+    return "-".join(f"h_{h}_d_{d:g}" for h, d in zip(heads, densities))
+
+
+def accuracy_within(y_pred, y_true, threshold: float) -> float:
+    rel = np.abs((np.asarray(y_true) - np.asarray(y_pred)) / np.asarray(y_true))
+    return float(np.mean(rel <= threshold))
+
+
+def lat_metrics(y_pred, y_true):
+    """(rmse, rmspe%, rel_rmse, acc5, acc10, acc15) — latency_model.py:18-26."""
+    y_pred = np.asarray(y_pred, np.float64)
+    y_true = np.asarray(y_true, np.float64)
+    rmspe = float(np.sqrt(np.mean(np.square((y_true - y_pred) / y_true)))) * 100
+    rmse = float(np.sqrt(np.mean((y_true - y_pred) ** 2)))
+    return (
+        rmse,
+        rmspe,
+        rmse / float(np.mean(y_true)),
+        accuracy_within(y_pred, y_true, 0.05),
+        accuracy_within(y_pred, y_true, 0.10),
+        accuracy_within(y_pred, y_true, 0.15),
+    )
+
+
+def sample_random_configs(
+    n: int, depth: int, max_heads: int, seed: int = 0,
+    densities=(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0),
+) -> List[str]:
+    """Random layerwise supernet configs (get_latency.py:34-152 analogue)."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        heads = rng.randint(1, max_heads + 1, size=depth)
+        dens = rng.choice(densities, size=depth)
+        out.append(format_features(heads, dens))
+    return out
+
+
+class LatencyPredictor:
+    """RandomForest latency model over the (h, d) feature DSL."""
+
+    def __init__(self, **rf_kwargs):
+        from sklearn.ensemble import RandomForestRegressor
+
+        defaults = dict(
+            max_depth=70, n_estimators=320, min_samples_leaf=1,
+            min_samples_split=2, max_features=1.0, oob_score=False,
+            random_state=10,
+        )
+        defaults.update(rf_kwargs)
+        self.model = RandomForestRegressor(**defaults)
+        self.fitted = False
+
+    def fit(self, encodings: Sequence[str], latencies_ms: Sequence[float],
+            test_size: float = 0.2):
+        from sklearn.model_selection import train_test_split
+
+        X = [parse_features(e) for e in encodings]
+        y = list(latencies_ms)
+        metrics = None
+        if test_size and len(X) >= 5:
+            tr_x, te_x, tr_y, te_y = train_test_split(
+                X, y, test_size=test_size, random_state=10
+            )
+            self.model.fit(tr_x, tr_y)
+            metrics = lat_metrics(self.model.predict(te_x), te_y)
+        self.model.fit(X, y)
+        self.fitted = True
+        return metrics
+
+    def predict(self, encoding: str) -> float:
+        return float(self.model.predict([parse_features(encoding)])[0])
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self.model, f)
+
+    @classmethod
+    def load(cls, path: str) -> "LatencyPredictor":
+        obj = cls.__new__(cls)
+        with open(path, "rb") as f:
+            obj.model = pickle.load(f)
+        obj.fitted = True
+        return obj
+
+
+def collect_latency_dataset(
+    encodings: Sequence[str],
+    measure: Callable[[str], float],
+    log: Callable[[str], None] = print,
+) -> Tuple[List[str], List[float]]:
+    """Measure each config (TPU-native replacement for the on-device ONNX
+    benchmarking loop).  ``measure(encoding) -> ms``."""
+    xs, ys = [], []
+    for enc in encodings:
+        ms = measure(enc)
+        xs.append(enc)
+        ys.append(ms)
+        log(f"{enc} {ms:.4f} ms")
+    return xs, ys
+
+
+def measure_pruned_deit(size: str = "tiny", batch: int = 1, dtype="bfloat16"):
+    """Returns measure(encoding) benchmarking the shape-specialized pruned
+    model on the current device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..bench.looptimer import measure_op_time
+    from ..models.vit import ViT, deit_config
+
+    def measure(encoding: str) -> float:
+        feats = parse_features(encoding)
+        heads = tuple(int(h) for h in feats[0::2])
+        base = deit_config(size)
+        mlps = tuple(int(d * base.mlp_dim) for d in feats[1::2])
+        cfg = base.replace(
+            heads_per_layer=heads, mlp_dim_per_layer=mlps, head_dim=64,
+            dtype=jnp.dtype(dtype),
+        )
+        model = ViT(cfg)
+        x = jnp.ones((batch, 3, 224, 224), cfg.dtype)
+        params = model.init(jax.random.key(0), x)
+        r = measure_op_time(lambda p, xx: model.apply(p, xx), (params, x),
+                            iters=50, repeats=3, chain_arg=1)
+        return r["p50_ms"]
+
+    return measure

@@ -1,0 +1,102 @@
+"""Aux subsystem tests: latency predictor, experiments grid, log scrapers."""
+
+import numpy as np
+import pytest
+
+from edgevisiontransformer_tpu.bench.experiments import (
+    fusion_test_transformer_stages,
+    prune_benchmark_grid,
+)
+from edgevisiontransformer_tpu.utils.latency_model import (
+    LatencyPredictor,
+    collect_latency_dataset,
+    format_features,
+    lat_metrics,
+    parse_features,
+    sample_random_configs,
+)
+from edgevisiontransformer_tpu.utils.logscrape import (
+    fetch_accuracies_from_log,
+    fetch_latency_std,
+    fetch_results_from_markers,
+)
+
+
+def test_feature_dsl_roundtrip():
+    enc = "h_4_d_0.4-h_2_d_0.3"
+    assert parse_features(enc) == [4.0, 0.4, 2.0, 0.3]
+    assert format_features([4, 2], [0.4, 0.3]) == enc
+
+
+def test_lat_metrics():
+    rmse, rmspe, rel, a5, a10, a15 = lat_metrics([1.0, 2.0], [1.0, 2.1])
+    assert rmse == pytest.approx(np.sqrt(0.01 / 2))
+    assert a5 == 1.0  # both within 5%
+
+
+def test_latency_predictor_learns_linear_relation():
+    # synthetic: latency = sum of per-layer (h * 1.0 + d * 2.0)
+    encs = sample_random_configs(200, depth=4, max_heads=6, seed=1)
+    ys = [sum(parse_features(e)[0::2]) + 2 * sum(parse_features(e)[1::2])
+          for e in encs]
+    m = LatencyPredictor(n_estimators=50)
+    metrics = m.fit(encs, ys)
+    assert metrics is not None
+    rmse, rmspe, rel, a5, a10, a15 = metrics
+    assert a15 > 0.7  # RF should capture an additive relation decently
+    pred = m.predict(encs[0])
+    assert abs(pred - ys[0]) / ys[0] < 0.3
+
+
+def test_latency_predictor_save_load(tmp_path):
+    encs = sample_random_configs(30, depth=2, max_heads=3)
+    ys = [float(i) + 1 for i in range(30)]
+    m = LatencyPredictor(n_estimators=10)
+    m.fit(encs, ys, test_size=0)
+    p = str(tmp_path / "lat.pkl")
+    m.save(p)
+    m2 = LatencyPredictor.load(p)
+    assert m2.predict(encs[0]) == pytest.approx(m.predict(encs[0]))
+
+
+def test_collect_latency_dataset():
+    xs, ys = collect_latency_dataset(["h_1_d_1.0"], lambda e: 42.0, log=lambda s: None)
+    assert ys == [42.0]
+
+
+def test_prune_benchmark_grid():
+    grid = prune_benchmark_grid("tiny")
+    assert "all_head3_ffn0.9" in grid
+    assert "all_head1_ffn1.0" in grid
+    assert "all_head2_ffn0.7" in grid
+    assert len(grid) == 9 + 3 + 4
+    grid_s = prune_benchmark_grid("small")
+    assert "all_head5_ffn0.6" in grid_s
+
+
+def test_fusion_stages_equal_output():
+    import jax, jax.numpy as jnp
+
+    stages = fusion_test_transformer_stages(dim=32, mlp=64)
+    x = jax.random.normal(jax.random.key(0), (8, 32))
+    a = stages(x, False)
+    b = stages(x, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_log_scrapers(tmp_path):
+    log = tmp_path / "bench.log"
+    log.write_text(
+        "noise\nAvg latency 12.500 ms, Std 0.300 ms\n"
+        "Mem footprint(MB): 26.66\n"
+        "top1 0.7221\n"
+        "Avg latency 7.1 ms, Std 0.1 ms\n"
+    )
+    assert fetch_latency_std(str(log)) == [(12.5, 0.3), (7.1, 0.1)]
+    assert fetch_accuracies_from_log(str(log)) == [0.7221]
+
+    d = tmp_path / "m" / "deit_t_prune14"
+    d.mkdir(parents=True)
+    (d / "accuracy7221.txt").touch()
+    res = fetch_results_from_markers(str(tmp_path / "m"))
+    assert res == {"deit_t_prune14": 0.7221}
