@@ -75,9 +75,9 @@ def _encoder_kernel(
     # ---- attention sublayer ----
     h = _ln(x, ln1_g_ref[0], ln1_b_ref[0], eps).astype(dtype)
     qkv = (
-        jax.lax.dot(h, qkv_w_ref[0], preferred_element_type=jnp.float32)
-        + qkv_b_ref[0].astype(jnp.float32)
-    ).astype(dtype)  # [bm*n_pad, 3*h*hd], fused axis ordered (qkv, head, hd)
+        jax.lax.dot(h, qkv_w_ref[0], preferred_element_type=dtype)
+        + qkv_b_ref[0]
+    )  # [bm*n_pad, 3*h*hd], fused axis ordered (qkv, head, hd)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
     key_mask = col < seq_len
@@ -116,8 +116,8 @@ def _encoder_kernel(
     # ---- MLP sublayer ----
     h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
     hid = (
-        jax.lax.dot(h2, fc1_w_ref[0], preferred_element_type=jnp.float32)
-        + fc1_b_ref[0].astype(jnp.float32)
+        jax.lax.dot(h2, fc1_w_ref[0], preferred_element_type=dtype)
+        + fc1_b_ref[0]
     )
     hid = gelu_kernel(hid, approx_gelu).astype(dtype)
     mlp_out = (
@@ -220,6 +220,9 @@ def encoder_forward(
         out_shape=jax.ShapeDtypeStruct((b_pad * n_pad, dim), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm * n_pad, dim), x.dtype)],
         interpret=use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 * 1024 * 1024, 24 * 1024 * 1024 * max(1, dim // 192)),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=int(
