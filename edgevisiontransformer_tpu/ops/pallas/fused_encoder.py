@@ -75,7 +75,8 @@ def _encoder_kernel(
     # ---- attention sublayer ----
     h = _ln(x, ln1_g_ref[0], ln1_b_ref[0], eps).astype(dtype)
     qkv = (
-        jax.lax.dot(h, qkv_w_ref[0], preferred_element_type=dtype)
+        jax.lax.dot(h, qkv_w_ref[0], preferred_element_type=jnp.float32)
+        .astype(dtype)  # MXU acc must be fp32; cast in the epilogue
         + qkv_b_ref[0]
     )  # [bm*n_pad, 3*h*hd], fused axis ordered (qkv, head, hd)
 
@@ -116,7 +117,8 @@ def _encoder_kernel(
     # ---- MLP sublayer ----
     h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
     hid = (
-        jax.lax.dot(h2, fc1_w_ref[0], preferred_element_type=dtype)
+        jax.lax.dot(h2, fc1_w_ref[0], preferred_element_type=jnp.float32)
+        .astype(dtype)
         + fc1_b_ref[0]
     )
     hid = gelu_kernel(hid, approx_gelu).astype(dtype)
