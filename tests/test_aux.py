@@ -100,3 +100,19 @@ def test_log_scrapers(tmp_path):
     (d / "accuracy7221.txt").touch()
     res = fetch_results_from_markers(str(tmp_path / "m"))
     assert res == {"deit_t_prune14": 0.7221}
+
+
+def test_plots(tmp_path):
+    from edgevisiontransformer_tpu.utils.plots import (
+        MODEL_INFO,
+        draw_latency_vs_macs,
+        draw_macs_accuracy_curve,
+    )
+
+    assert MODEL_INFO["deit_tiny"].acc == 72.2
+    p1 = draw_macs_accuracy_curve(str(tmp_path / "a.png"),
+                                  extra_points={"ours": (1.28, 72.0)})
+    p2 = draw_latency_vs_macs({"deit_tiny": (1.28, 0.08)}, str(tmp_path / "b.png"))
+    import os
+
+    assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
