@@ -43,29 +43,38 @@ def deit_flops(dim: int, depth: int, mlp: int, n_tokens: int = 197) -> float:
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    kernel_mode = sys.argv[2] if len(sys.argv) > 2 else "xla"
+    kernel_mode = sys.argv[2] if len(sys.argv) > 2 else "fused"
     dtype = jnp.bfloat16
 
     from edgevisiontransformer_tpu.bench.looptimer import measure_op_time
+    from edgevisiontransformer_tpu.cache import enable_compilation_cache
     from edgevisiontransformer_tpu.models import get_deit_tiny
+    from edgevisiontransformer_tpu.models.vit import fused_vit_apply
 
-    model = get_deit_tiny("standard", dtype=dtype, kernel_mode=kernel_mode)
+    enable_compilation_cache()
+    model = get_deit_tiny("standard", dtype=dtype)
     cfg = model.config
     x = jnp.ones((batch, 3, 224, 224), dtype)
     params = model.init(jax.random.key(0), x)
 
-    res = measure_op_time(
-        lambda p, xx: model.apply(p, xx), (params, x),
-        iters=100, repeats=5, chain_arg=1,
-    )
+    if kernel_mode == "fused":
+        # whole-encoder Pallas kernel; fall back to XLA if it fails to
+        # compile on this toolchain
+        try:
+            apply = lambda p, xx: fused_vit_apply(model, p, xx)
+            jax.block_until_ready(jax.jit(apply)(params, x))
+        except Exception:
+            kernel_mode = "xla"
+            apply = model.apply
+    else:
+        apply = model.apply
+
+    res = measure_op_time(apply, (params, x), iters=100, repeats=5, chain_arg=1)
 
     # throughput at a serving batch as a secondary number
     bs_thr = 128
     xt = jnp.ones((bs_thr, 3, 224, 224), dtype)
-    thr = measure_op_time(
-        lambda p, xx: model.apply(p, xx), (params, xt),
-        iters=30, repeats=3, chain_arg=1,
-    )
+    thr = measure_op_time(apply, (params, xt), iters=30, repeats=3, chain_arg=1)
 
     flops = deit_flops(cfg.dim, cfg.depth, cfg.mlp_dim) * batch
     param_bytes = sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(params))
