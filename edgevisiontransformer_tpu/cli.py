@@ -152,10 +152,25 @@ def cmd_export(argv):
     p.add_argument("--model", default="deit_tiny")
     p.add_argument("--style", default="standard")
     p.add_argument("--from-hf", default=None, help="HF checkpoint name/path")
+    p.add_argument("--format", default="checkpoint",
+                   choices=["checkpoint", "stablehlo"])
+    p.add_argument("--batch", type=int, default=1)
     p.add_argument("--output", required=True)
     args = p.parse_args(argv)
 
     from .utils.checkpoint import save_checkpoint
+
+    if args.format == "stablehlo":
+        from .utils.export import export_forward
+
+        model, in_shape = _build_model(args.model, args.style)
+        params = model.init(jax.random.key(0), jnp.ones((1,) + in_shape))
+        path = export_forward(
+            model.apply, params, (args.batch,) + in_shape, args.output,
+            meta={"model": args.model, "style": args.style},
+        )
+        print(f"saved stablehlo -> {path}")
+        return
 
     if args.from_hf:
         from .utils.hf_import import load_hf_model_params

@@ -22,6 +22,7 @@ PARAM_RANGES = {
     "shufflenet_v2": (2.1e6, 2.5e6),
     "mnasnet": (4.2e6, 4.6e6),
     "proxyless_mobile": (3.9e6, 4.4e6),
+    "inception_v3": (23.0e6, 24.5e6),
 }
 
 
