@@ -243,7 +243,9 @@ def get_deit_base(style: str = "standard", **kw) -> ViT:
     return ViT(deit_config("base", style, **kw))
 
 
-def fused_vit_apply(model: ViT, variables, img: jax.Array) -> jax.Array:
+def fused_vit_apply(model: ViT, variables, img: jax.Array,
+                    batch_block: int | None = None,
+                    n_pad_multiple: int = 128) -> jax.Array:
     """Forward pass using the whole-encoder Pallas kernel.
 
     Same params as ``model.apply`` (bit-for-bit interchangeable); the encoder
@@ -277,6 +279,8 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array) -> jax.Array:
         eps=cfg.layernorm_eps,
         reference_residual=cfg.reference_residual,
         approx_gelu=cfg.gelu_approx,
+        batch_block=batch_block,
+        n_pad_multiple=n_pad_multiple,
     )
 
     if cfg.final_norm:

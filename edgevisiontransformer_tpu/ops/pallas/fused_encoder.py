@@ -148,6 +148,7 @@ def encoder_forward(
     reference_residual: bool = False,
     approx_gelu: bool = False,
     batch_block: int | None = None,
+    n_pad_multiple: int = 128,
 ) -> jax.Array:
     """Run the full encoder. x: [b, n, dim]; stacked: dict of [L, ...] arrays
     with keys ln1_g ln1_b qkv_w qkv_b out_w out_b ln2_g ln2_b fc1_w fc1_b
@@ -156,7 +157,7 @@ def encoder_forward(
     depth = stacked["qkv_w"].shape[0]
     inner = stacked["qkv_w"].shape[2]
     mlp = stacked["fc1_w"].shape[2]
-    n_pad = round_up(n, 128)
+    n_pad = round_up(n, n_pad_multiple)
 
     if batch_block is not None:
         bm = batch_block
