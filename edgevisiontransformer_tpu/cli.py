@@ -195,6 +195,9 @@ def cmd_eval(argv):
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--style", default="standard")
     p.add_argument("--marker-dir", default=None)
+    # cross-implementation consistency (the reference's cross-runtime eval:
+    # onnx vs tflite vs tf, SURVEY.md §4.3) — xla vs fused kernel vs int8
+    p.add_argument("--impl", default="xla", choices=["xla", "fused", "int8"])
     args = p.parse_args(argv)
 
     from .utils.checkpoint import load_checkpoint
@@ -204,7 +207,18 @@ def cmd_eval(argv):
     params = model.init(jax.random.key(0), jnp.ones((1, 3, 224, 224)))
     if args.checkpoint:
         params = load_checkpoint(args.checkpoint, params)
-    acc = evaluate(model.apply, params, args.data_dir, batch_size=args.batch,
+    if args.impl == "fused":
+        from .models.vit import fused_vit_apply
+
+        apply_fn = lambda p_, x_: fused_vit_apply(model, p_, x_)
+    elif args.impl == "int8":
+        from .ops.quant import int8_vit_apply, quantize_vit_params_int8
+
+        params = quantize_vit_params_int8(params)
+        apply_fn = lambda p_, x_: int8_vit_apply(model, p_, x_)
+    else:
+        apply_fn = model.apply
+    acc = evaluate(apply_fn, params, args.data_dir, batch_size=args.batch,
                    limit=args.limit, progress=True)
     print(f"top1 {acc:.4f}")
     if args.marker_dir:

@@ -57,3 +57,24 @@ def test_convert_cmd(tmp_path, capsys):
     assert (out_dir / "meta.json").exists()
     meta = json.loads((out_dir / "meta.json").read_text())
     assert meta["quantization"] == "dynamic"
+
+
+def test_eval_cmd_impl_consistency(tmp_path, capsys):
+    """Same tiny ImageFolder through xla and int8 impls (cross-runtime
+    consistency analogue)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for cls in ["a", "b"]:
+        d = tmp_path / "val" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                d / f"{i}.jpg")
+    for impl in ("xla", "int8"):
+        assert main([
+            "eval", "--model", "deit_tiny", "--data-dir", str(tmp_path / "val"),
+            "--batch", "2", "--impl", impl,
+        ]) == 0
+        out = capsys.readouterr().out
+        assert "top1" in out
