@@ -125,3 +125,71 @@ def quant_op_sweep(
             "int8_dynamic_ms": r_int8["p50_ms"],
         })
     return out
+
+
+# ---------------------------------------------------------------------------
+# Micro models (reference utils.py:322-406: get_attention/ffn/dense_plus_input)
+# ---------------------------------------------------------------------------
+
+
+def micro_attention(dim: int = 192, heads: int = 3, n_tokens: int = 197,
+                    batch: int = 1, dtype=jnp.float32):
+    """Attention-only micro model: (fn, (params-like args…)).  The reference
+    exports these as standalone tflite/onnx models to benchmark the op in
+    isolation; here they are jittable closures fed to the loop-delta timer."""
+    from ..ops.attention import attention_xla
+
+    hd = dim // heads
+    k = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.normal(k[0], (batch, n_tokens, dim), dtype)
+    w_qkv = (jax.random.normal(k[1], (dim, 3 * dim)) * 0.05).astype(dtype)
+    w_out = (jax.random.normal(k[2], (dim, dim)) * 0.05).astype(dtype)
+
+    def fn(x, w_qkv, w_out):
+        return attention_xla(x, w_qkv, None, w_out, None, heads, hd)
+
+    return fn, (x, w_qkv, w_out)
+
+
+def micro_ffn(dim: int = 192, hidden: int = 768, n_tokens: int = 197,
+              batch: int = 1, dtype=jnp.float32):
+    from ..ops.activations import gelu_tanh
+    from ..ops.layers import mlp_block
+
+    k = jax.random.split(jax.random.key(1), 3)
+    x = jax.random.normal(k[0], (batch, n_tokens, dim), dtype)
+    w1 = (jax.random.normal(k[1], (dim, hidden)) * 0.05).astype(dtype)
+    w2 = (jax.random.normal(k[2], (hidden, dim)) * 0.05).astype(dtype)
+
+    def fn(x, w1, w2):
+        return mlp_block(x, w1, None, w2, None, gelu_tanh)
+
+    return fn, (x, w1, w2)
+
+
+def micro_dense_plus_input(dim_in: int = 192, dim_out: int = 192,
+                           n_tokens: int = 197, batch: int = 1,
+                           dtype=jnp.float32):
+    """Dense + residual add (the reference's dense_plus_input fusion probe)."""
+    k = jax.random.split(jax.random.key(2), 2)
+    x = jax.random.normal(k[0], (batch, n_tokens, dim_in), dtype)
+    w = (jax.random.normal(k[1], (dim_in, dim_out)) * 0.05).astype(dtype)
+
+    def fn(x, w):
+        return x @ w + (x if dim_in == dim_out else 0.0)
+
+    return fn, (x, w)
+
+
+def bench_micro_models(dim: int = 192, heads: int = 3, batch: int = 1,
+                       iters: int = 100, repeats: int = 3) -> Dict[str, float]:
+    """Benchmark the three micro models (op-isolation methodology)."""
+    out = {}
+    for name, (fn, args) in {
+        "attention": micro_attention(dim, heads, batch=batch),
+        "ffn": micro_ffn(dim, dim * 4, batch=batch),
+        "dense_plus_input": micro_dense_plus_input(dim, dim, batch=batch),
+    }.items():
+        r = measure_op_time(fn, args, iters=iters, repeats=repeats, chain_arg=0)
+        out[name] = r["p50_ms"]
+    return out

@@ -116,3 +116,18 @@ def test_plots(tmp_path):
     import os
 
     assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
+
+
+def test_micro_models_build_and_run():
+    import jax
+
+    from edgevisiontransformer_tpu.bench.experiments import (
+        micro_attention,
+        micro_dense_plus_input,
+        micro_ffn,
+    )
+
+    for builder in (micro_attention, micro_ffn, micro_dense_plus_input):
+        fn, args = builder()
+        y = jax.jit(fn)(*args)
+        assert y.shape[0] == 1 and y.ndim == 3
