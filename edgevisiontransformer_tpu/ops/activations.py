@@ -9,7 +9,6 @@ trained with exact-erf GELU. Both are exposed and selected by
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def gelu_tanh(x: jax.Array) -> jax.Array:

@@ -17,7 +17,7 @@ on the MXU with int32 accumulation (v5e int8 peak is 2x bf16).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -118,7 +118,7 @@ def int8_vit_apply(model, qparams: Dict, img: jax.Array) -> jax.Array:
     from ..models.vit import ViT  # noqa
     from .activations import get_gelu
     from .attention import merge_heads, qkv_split, sdpa
-    from .layers import layer_norm, mlp_block, patch_embed
+    from .layers import layer_norm, patch_embed
 
     cfg = model.config
     p = qparams["params"] if "params" in qparams else qparams

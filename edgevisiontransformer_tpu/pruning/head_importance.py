@@ -16,7 +16,7 @@ dot product without touching model internals.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Set
+
 
 import jax
 import jax.numpy as jnp

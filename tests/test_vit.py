@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from edgevisiontransformer_tpu.config import ViTConfig, decode_prune_encoding
+from edgevisiontransformer_tpu.config import decode_prune_encoding
 from edgevisiontransformer_tpu.models.vit import (
     ViT,
     deit_config,
