@@ -65,6 +65,10 @@ class ViTConfig:
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
+    # Dropout (reference T2T performer uses 0.1; DeiT finetunes use 0).
+    dropout_rate: float = 0.0
+    attn_dropout_rate: float = 0.0
+
     # Kernel selection: "xla" = plain jnp (reference impl), "pallas" = fused.
     kernel_mode: str = "xla"
 

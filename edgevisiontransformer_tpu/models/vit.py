@@ -142,20 +142,21 @@ class EncoderBlock(nn.Module):
     layer_idx: int = 0
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
         attn = Attention(cfg, self.layer_idx, name="attn")
         ffn = FeedForward(cfg, self.layer_idx, name="ffn")
         ln1 = LayerNormP(cfg, name="ln1")
         ln2 = LayerNormP(cfg, name="ln2")
+        drop = nn.Dropout(cfg.dropout_rate, deterministic=not train or cfg.dropout_rate == 0.0)
         if cfg.reference_residual:
             h = ln1(x)
-            x = attn(h) + h
+            x = drop(attn(h)) + h
             h = ln2(x)
-            x = ffn(h) + h
+            x = drop(ffn(h)) + h
         else:
-            x = x + attn(ln1(x))
-            x = x + ffn(ln2(x))
+            x = x + drop(attn(ln1(x)))
+            x = x + drop(ffn(ln2(x)))
         return x
 
 
@@ -165,7 +166,7 @@ class ViT(nn.Module):
     config: ViTConfig
 
     @nn.compact
-    def __call__(self, img: jax.Array) -> jax.Array:
+    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
         p, c, dim = cfg.patch_size, cfg.in_channels, cfg.dim
         n = cfg.num_patches
@@ -194,7 +195,7 @@ class ViT(nn.Module):
         x = x + pos_embedding.astype(cfg.dtype)
 
         for i in range(cfg.depth):
-            x = EncoderBlock(cfg, i, name=f"block_{i}")(x)
+            x = EncoderBlock(cfg, i, name=f"block_{i}")(x, train=train)
 
         if cfg.final_norm:
             x = LayerNormP(cfg, name="final_norm")(x)

@@ -167,3 +167,22 @@ def test_bf16_compute():
     y = model.apply(params, x)
     assert y.dtype == jnp.bfloat16
     assert jnp.isfinite(y.astype(jnp.float32)).all()
+
+
+def test_dropout_train_mode():
+    """train=True + dropout_rate produces stochastic outputs; eval is
+    deterministic and matches rate-0."""
+    cfg = _tiny_cfg().replace(dropout_rate=0.5)
+    model = ViT(cfg)
+    x = jnp.ones((2, 3, 32, 32))
+    params = model.init(jax.random.key(0), x)
+    # eval mode: deterministic, equals the rate-0 model
+    y1 = model.apply(params, x)
+    y2 = model.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    ref = ViT(_tiny_cfg()).apply(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(ref), rtol=1e-6)
+    # train mode: differs across rng draws
+    t1 = model.apply(params, x, train=True, rngs={"dropout": jax.random.key(1)})
+    t2 = model.apply(params, x, train=True, rngs={"dropout": jax.random.key(2)})
+    assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 0
