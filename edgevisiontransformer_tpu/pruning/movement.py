@@ -131,6 +131,32 @@ def magnitude_mask(weight_norms: jax.Array, threshold) -> jax.Array:
     return topk_mask(weight_norms, threshold)
 
 
+# Hard-concrete (L0) gate constants (Louizos et al.; nn_pruning's l0 method).
+_L0_TEMP = 2.0 / 3.0
+_L0_GAMMA = -0.1
+_L0_ZETA = 1.1
+
+
+def l0_gate(scores: jax.Array, rng: Optional[jax.Array] = None) -> jax.Array:
+    """Hard-concrete gate: stochastic (train, with rng) or deterministic
+    (eval).  Differentiable — no STE needed."""
+    if rng is not None:
+        u = jax.random.uniform(rng, scores.shape, minval=1e-6, maxval=1 - 1e-6)
+        sc = (jnp.log(u) - jnp.log1p(-u) + scores) / _L0_TEMP
+    else:
+        sc = scores
+    s = jax.nn.sigmoid(sc) * (_L0_ZETA - _L0_GAMMA) + _L0_GAMMA
+    return jnp.clip(s, 0.0, 1.0)
+
+
+def l0_penalty(scores: jax.Array) -> jax.Array:
+    """Expected L0 (probability a gate is nonzero) — the regularizer that
+    drives sparsity for method="l0"."""
+    return jnp.mean(
+        jax.nn.sigmoid(scores - _L0_TEMP * jnp.log(-_L0_GAMMA / _L0_ZETA))
+    )
+
+
 def expand_block_mask(mask: jax.Array, out_dim: int, in_dim: int) -> jax.Array:
     """[nbr, nbc] block mask -> [out_dim, in_dim] elementwise mask
     (masked_nn.py:272-332 repeat_interleave)."""
@@ -178,6 +204,10 @@ def _binarize(scores, threshold, sparse: SparseConfig):
         return threshold_mask(scores, threshold, sigmoid=sparse.method == "sigmoied_threshold")
     if sparse.method == "magnitude":
         return magnitude_mask(scores, threshold)
+    if sparse.method == "l0":
+        # deterministic gate; sparsity is driven by l0_penalty, the
+        # threshold knob is unused (matches nn_pruning's l0 semantics)
+        return l0_gate(scores)
     raise ValueError(f"unknown method {sparse.method!r}")
 
 
@@ -280,15 +310,18 @@ def schedule_thresholds(
 
 
 def regularization_loss(mask_scores: Dict, sparse: SparseConfig, regu_mul: float = 1.0):
-    """L1-of-sigmoid on mask scores, λ split attention vs dense
-    (patch_coordinator.py:530-627)."""
-    if sparse.regularization != "l1":
+    """L1-of-sigmoid (or expected-L0) on mask scores, λ split attention vs
+    dense (patch_coordinator.py:530-627)."""
+    if sparse.regularization not in ("l1", "l0"):
         return 0.0
+    term = l0_penalty if sparse.regularization == "l0" else (
+        lambda v: jnp.mean(jax.nn.sigmoid(v))
+    )
     attn_terms, dense_terms = [], []
     for blk in mask_scores.values():
         for k, v in blk.items():
             (attn_terms if k in ("q", "k", "v", "out") else dense_terms).append(
-                jnp.mean(jax.nn.sigmoid(v))
+                term(v)
             )
     loss = 0.0
     if attn_terms:

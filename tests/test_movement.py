@@ -232,3 +232,33 @@ def test_sparse_train_with_teacher():
                              optax.sgd(1e-2).init(scores), x, labels, thr,
                              jnp.asarray(0.0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_l0_gate_and_penalty():
+    from edgevisiontransformer_tpu.pruning.movement import l0_gate, l0_penalty
+
+    scores = jnp.array([-10.0, 0.0, 10.0])
+    g = np.asarray(l0_gate(scores))
+    assert g[0] == 0.0 and g[2] == 1.0 and 0.0 < g[1] < 1.0
+    # stochastic draw differs but stays in [0,1]
+    gs = np.asarray(l0_gate(scores, jax.random.key(0)))
+    assert (gs >= 0).all() and (gs <= 1).all()
+    # penalty decreases as scores go negative (sparser)
+    assert float(l0_penalty(jnp.full((4,), -5.0))) < float(l0_penalty(jnp.zeros((4,))))
+    # gradient flows (differentiable gate, no STE needed)
+    grad = jax.grad(lambda s: jnp.sum(l0_gate(s)))(jnp.zeros((3,)))
+    assert np.abs(np.asarray(grad)).sum() > 0
+
+
+def test_l0_method_in_apply_masks():
+    cfg = _cfg()
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 32, 32))
+    params = model.init(jax.random.key(1), x)
+    sp = SparseConfig(method="l0", regularization="l0",
+                      regu_lambda_attention=1.0, regu_lambda_dense=1.0)
+    scores = init_mask_scores(cfg, sp, jax.random.key(2))
+    masked = apply_masks(cfg, params, scores, [(0.5, 0.5)] * cfg.depth, sp)
+    y = model.apply(masked, x)
+    assert jnp.isfinite(y).all()
+    assert float(regularization_loss(scores, sp, 1.0)) > 0
