@@ -46,12 +46,15 @@ class SparseConfig:
     """Subset of SparseTrainingArguments (patch_coordinator.py:51-277) that is
     meaningful for the DeiT path, with the same defaults."""
 
-    method: str = "topk"  # topk | threshold | sigmoied_threshold | magnitude
+    method: str = "topk"  # topk | threshold | sigmoied_threshold | magnitude | l0
     # Attention masks are blocked at head granularity by default (the
-    # topk-hybrid-struct presets use block = one head of qkv).
-    attn_block_rows: int = 64   # rows of W^T = output units (head_dim)
+    # topk-hybrid-struct presets use block = one head of qkv).  -1 rows means
+    # "one head" regardless of head_dim; explicit sizes give 2D block masks.
+    attn_block_rows: int = -1   # rows of W^T = output units; -1 => head_dim
     attn_block_cols: int = -1   # -1 => whole input dim
-    dense_pruning: str = "1d_alt"  # fc1 masked by rows(hidden), fc2 by cols(hidden)
+    dense_pruning: str = "1d_alt"  # 1d_alt: fc1 rows / fc2 cols; "blocks": 2D
+    dense_block_rows: int = 1      # used when dense_pruning == "blocks"
+    dense_block_cols: int = 1
     initial_threshold: float = 1.0
     final_threshold: float = 0.5
     initial_warmup: float = 1.0   # in units of warmup_steps
@@ -171,13 +174,42 @@ def expand_block_mask(mask: jax.Array, out_dim: int, in_dim: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _attn_head_granular(cfg: ViTConfig, sparse: SparseConfig) -> bool:
+    """True when the attention block == one head's rows x full input (the
+    topk-hybrid-struct presets) — masks collapse to per-head scalars."""
+    hd = cfg.resolved_head_dim
+    rows = sparse.attn_block_rows
+    cols = sparse.attn_block_cols
+    return (rows == -1 or rows == hd) and (cols <= 0 or cols >= cfg.dim)
+
+
+def _attn_block_shape(cfg: ViTConfig, sparse: SparseConfig, heads: int):
+    """(nbr, nbc) for one q/k/v matrix [out=heads*hd, in=dim]."""
+    hd = cfg.resolved_head_dim
+    out_dim, in_dim = heads * hd, cfg.dim
+    br = sparse.attn_block_rows if sparse.attn_block_rows > 0 else out_dim
+    bc = sparse.attn_block_cols if sparse.attn_block_cols > 0 else in_dim
+    return max(out_dim // br, 1), max(in_dim // bc, 1)
+
+
+def _dense_block_shapes(cfg: ViTConfig, sparse: SparseConfig, mlp: int):
+    """fc1 is [out=mlp, in=dim]; fc2 is [out=dim, in=mlp] (torch orientation,
+    like nn_pruning's LAYER_PATTERNS)."""
+    br = max(sparse.dense_block_rows, 1)
+    bc = max(sparse.dense_block_cols, 1)
+    return (mlp // br, cfg.dim // bc), (cfg.dim // br, mlp // bc)
+
+
 def init_mask_scores(cfg: ViTConfig, sparse: SparseConfig, rng: jax.Array) -> Dict:
     """One score tensor per maskable matrix per layer.
 
-    Attention q/k/v: [heads] block scores (block = one head's rows — the
-    topk-hybrid-struct preset); att out: [heads] (cols by head);
-    fc1: [mlp_dim] row scores; fc2: [mlp_dim] col scores (1d_alt).
+    Head-granular presets (attention block = one head of qkv): q/k/v/out get
+    [heads] scores, fc1/fc2 get [mlp] row/col scores (1d_alt).  Generic block
+    presets (32x32, 16x16, unstructured 1x1, ...): 2D [nbr, nbc] scores per
+    matrix in torch [out, in] orientation (masked_nn.py block machinery).
     """
+    head_gran = _attn_head_granular(cfg, sparse)
+    dense_1d = sparse.dense_pruning in ("1d", "1d_alt")
     scores = {}
     keys = jax.random.split(rng, cfg.depth)
     for i in range(cfg.depth):
@@ -186,13 +218,26 @@ def init_mask_scores(cfg: ViTConfig, sparse: SparseConfig, rng: jax.Array) -> Di
         k = jax.random.split(keys[i], 6)
         mk = lambda kk, shape: sparse.mask_init_scale * jax.random.normal(kk, shape) \
             + 1e-3 * jax.random.normal(kk, shape)
+        if head_gran:
+            attn_shapes = {n: (heads,) for n in ("q", "k", "v", "out")}
+        else:
+            qshape = _attn_block_shape(cfg, sparse, heads)
+            # att out matrix is [out=dim, in=heads*hd] -> transposed blocks
+            oshape = (max(cfg.dim // max(sparse.attn_block_rows, 1), 1),
+                      max(heads * cfg.resolved_head_dim // max(sparse.attn_block_cols, 1), 1))
+            attn_shapes = {"q": qshape, "k": qshape, "v": qshape, "out": oshape}
+        if dense_1d:
+            fc1_shape = (mlp,)
+            fc2_shape = (mlp,)
+        else:
+            fc1_shape, fc2_shape = _dense_block_shapes(cfg, sparse, mlp)
         scores[f"block_{i}"] = {
-            "q": mk(k[0], (heads,)),
-            "k": mk(k[1], (heads,)),
-            "v": mk(k[2], (heads,)),
-            "out": mk(k[3], (heads,)),
-            "fc1": mk(k[4], (mlp,)),
-            "fc2": mk(k[5], (mlp,)),
+            "q": mk(k[0], attn_shapes["q"]),
+            "k": mk(k[1], attn_shapes["k"]),
+            "v": mk(k[2], attn_shapes["v"]),
+            "out": mk(k[3], attn_shapes["out"]),
+            "fc1": mk(k[4], fc1_shape),
+            "fc2": mk(k[5], fc2_shape),
         }
     return scores
 
@@ -236,21 +281,41 @@ def apply_masks(
         mk_ = _binarize(sc["k"], thr_a, sparse)
         mv = _binarize(sc["v"], thr_a, sparse)
         mo = _binarize(sc["out"], thr_a, sparse)
-        # fused qkv mask over output cols ordered (qkv, head, hd)
-        qkv_mask = jnp.concatenate([
-            jnp.repeat(mq, hd), jnp.repeat(mk_, hd), jnp.repeat(mv, hd)
-        ])
-        attn["qkv_kernel"] = attn["qkv_kernel"] * qkv_mask[None, :]
-        if "qkv_bias" in attn:
-            attn["qkv_bias"] = attn["qkv_bias"] * qkv_mask
-        out_mask = jnp.repeat(mo, hd)
-        attn["out_kernel"] = attn["out_kernel"] * out_mask[:, None]
+        if mq.ndim == 1:
+            # head-granular: mask over output cols ordered (qkv, head, hd)
+            qkv_mask = jnp.concatenate([
+                jnp.repeat(mq, hd), jnp.repeat(mk_, hd), jnp.repeat(mv, hd)
+            ])
+            attn["qkv_kernel"] = attn["qkv_kernel"] * qkv_mask[None, :]
+            if "qkv_bias" in attn:
+                attn["qkv_bias"] = attn["qkv_bias"] * qkv_mask
+            out_mask = jnp.repeat(mo, hd)
+            attn["out_kernel"] = attn["out_kernel"] * out_mask[:, None]
+        else:
+            # generic 2D blocks in torch [out, in] orientation; our kernels
+            # are [in, out] so the expanded mask is transposed
+            out_dim, in_dim = heads * hd, attn["qkv_kernel"].shape[0]
+            eq = expand_block_mask(mq, out_dim, in_dim).T
+            ek = expand_block_mask(mk_, out_dim, in_dim).T
+            ev = expand_block_mask(mv, out_dim, in_dim).T
+            attn["qkv_kernel"] = attn["qkv_kernel"] * jnp.concatenate(
+                [eq, ek, ev], axis=1)
+            eo = expand_block_mask(mo, in_dim, out_dim).T  # att out: [dim, h*hd]
+            attn["out_kernel"] = attn["out_kernel"] * eo
 
         m1 = _binarize(sc["fc1"], thr_f, sparse)
         m2 = _binarize(sc["fc2"], thr_f, sparse)
-        ffn["fc1_kernel"] = ffn["fc1_kernel"] * m1[None, :]
-        ffn["fc1_bias"] = ffn["fc1_bias"] * m1
-        ffn["fc2_kernel"] = ffn["fc2_kernel"] * m2[:, None]
+        if m1.ndim == 1:
+            ffn["fc1_kernel"] = ffn["fc1_kernel"] * m1[None, :]
+            ffn["fc1_bias"] = ffn["fc1_bias"] * m1
+            ffn["fc2_kernel"] = ffn["fc2_kernel"] * m2[:, None]
+        else:
+            mlp_dim = ffn["fc1_kernel"].shape[1]
+            dim_in = ffn["fc1_kernel"].shape[0]
+            ffn["fc1_kernel"] = ffn["fc1_kernel"] * expand_block_mask(
+                m1, mlp_dim, dim_in).T
+            ffn["fc2_kernel"] = ffn["fc2_kernel"] * expand_block_mask(
+                m2, dim_in, mlp_dim).T
 
         blk["attn"] = attn
         blk["ffn"] = ffn
@@ -383,10 +448,24 @@ def compile_sparse_model(
         heads = cfg.layer_heads(i)
         thr_a, thr_f = final_thresholds[i]
         sc = mask_scores[f"block_{i}"]
+        hd = cfg.resolved_head_dim
         mq = np.asarray(_binarize(sc["q"], thr_a, sparse))
         mk_ = np.asarray(_binarize(sc["k"], thr_a, sparse))
         mv = np.asarray(_binarize(sc["v"], thr_a, sparse))
-        head_score = mq + mk_ + mv  # 0..3 per head
+        if mq.ndim == 1:
+            head_score = mq + mk_ + mv  # 0..3 per head
+        else:
+            # 2D block masks: head is "alive" in a matrix if ANY of its rows
+            # has a nonzero block (BertHeadsPruner.analyze_head semantics)
+            def _head_alive(m):
+                e = np.asarray(expand_block_mask(jnp.asarray(m), heads * hd, cfg.dim))
+                return (np.abs(e.reshape(heads, hd, -1)) > 0).any(axis=(1, 2))
+
+            head_score = (
+                _head_alive(mq).astype(np.float64)
+                + _head_alive(mk_)
+                + _head_alive(mv)
+            )
         n_keep = max(1, math.ceil(thr_a * heads))
         order = np.argsort(-head_score, kind="stable")
         keep = set(order[:n_keep].tolist())
@@ -396,7 +475,13 @@ def compile_sparse_model(
 
         m1 = np.asarray(_binarize(sc["fc1"], thr_f, sparse))
         m2 = np.asarray(_binarize(sc["fc2"], thr_f, sparse))
-        both = (m1 > 0) & (m2 > 0)
+        mlp = cfg.layer_mlp_dim(i)
+        if m1.ndim == 1:
+            both = (m1 > 0) & (m2 > 0)
+        else:
+            e1 = np.asarray(expand_block_mask(jnp.asarray(m1), mlp, cfg.dim))
+            e2 = np.asarray(expand_block_mask(jnp.asarray(m2), cfg.dim, mlp))
+            both = (np.abs(e1) > 0).any(axis=1) & (np.abs(e2) > 0).any(axis=0)
         keep_units = np.nonzero(both)[0].tolist() or [0]
         ffn_keep[i] = keep_units
         report[i] = {

@@ -60,11 +60,11 @@ def sparse_config_from_preset(
     if method == "topk":
         method = "topk"
     dense_method = d.get("dense_pruning_method", "topK:1d_alt")
-    dense_pruning = dense_method.split(":")[1] if ":" in dense_method else "unstructured"
+    dense_pruning = dense_method.split(":")[1] if ":" in dense_method else "blocks"
 
     kw = dict(
         method=method,
-        attn_block_rows=d.get("attention_block_rows", 64),
+        attn_block_rows=d.get("attention_block_rows", -1),
         attn_block_cols=d.get("attention_block_cols", -1),
         dense_pruning=dense_pruning,
         initial_threshold=d.get("initial_threshold", 1.0),
@@ -76,6 +76,8 @@ def sparse_config_from_preset(
         regu_lambda_attention=d.get("regularization_final_lambda", 0.0),
         regu_lambda_dense=d.get("regularization_final_lambda", 0.0)
         * d.get("dense_lambda", 1.0),
+        dense_block_rows=d.get("dense_block_rows", 1),
+        dense_block_cols=d.get("dense_block_cols", 1),
         layerwise_thresholds=layerwise_thresholds,
     )
     kw.update(overrides)

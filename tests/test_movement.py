@@ -262,3 +262,39 @@ def test_l0_method_in_apply_masks():
     y = model.apply(masked, x)
     assert jnp.isfinite(y).all()
     assert float(regularization_loss(scores, sp, 1.0)) > 0
+
+
+def test_generic_block_masks_32x32():
+    """topk-hybrid 32x32 preset path: 2D block masks on all matrices."""
+    cfg = _cfg()  # dim 64, heads 4, head_dim 16, mlp 128
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 32, 32))
+    params = model.init(jax.random.key(1), x)
+    sp = SparseConfig(attn_block_rows=32, attn_block_cols=32,
+                      dense_pruning="blocks", dense_block_rows=32,
+                      dense_block_cols=32)
+    scores = init_mask_scores(cfg, sp, jax.random.key(2))
+    # q scores: out=64, in=64, blocks 32x32 -> [2, 2]
+    assert scores["block_0"]["q"].shape == (2, 2)
+    assert scores["block_0"]["fc1"].shape == (128 // 32, 64 // 32)
+    masked = apply_masks(cfg, params, scores, [(0.5, 0.5)] * cfg.depth, sp)
+    y = model.apply(masked, x)
+    assert jnp.isfinite(y).all()
+    # half the blocks must be zeroed in q's slice of the fused qkv kernel
+    qk = np.asarray(masked["params"]["block_0"]["attn"]["qkv_kernel"][:, :64])
+    zero_frac = (qk == 0).mean()
+    assert 0.4 < zero_frac < 0.6
+
+    # compile works with generic masks (head alive if any row-block nonzero)
+    new_cfg, new_params, report = compile_sparse_model(cfg, params, scores, sp)
+    assert new_cfg.heads_per_layer is not None
+
+
+def test_unstructured_masks():
+    cfg = _cfg()
+    sp = SparseConfig(attn_block_rows=1, attn_block_cols=1,
+                      dense_pruning="blocks", dense_block_rows=1,
+                      dense_block_cols=1)
+    scores = init_mask_scores(cfg, sp, jax.random.key(0))
+    assert scores["block_0"]["q"].shape == (64, 64)  # elementwise
+    assert scores["block_0"]["fc1"].shape == (128, 64)
