@@ -127,22 +127,33 @@ class WindowAttention(nn.Module):
         ).value
 
         bw, _, _ = qkv.shape  # [b*nW, n, 3*dim]
-        qkv = qkv.reshape(bw, n, 3, self.heads, head_dim)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
-        attn = jnp.einsum("bhid,bhjd->bhij", q * scale, k)
         bias = bias_table[rpi.reshape(-1)].reshape(n, n, self.heads)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(bw // nW, nW, self.heads, n, n)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(bw, self.heads, n, n)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        bias_hnn = jnp.transpose(bias, (2, 0, 1))
 
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, self.dim)
+        if cfg.kernel_mode == "pallas":
+            # fused window-attention kernel; the Dense qkv output's fused
+            # axis is already ordered (qkv, head, hd) as the kernel slices it
+            from ..ops.pallas.window_attention import window_sdpa
+
+            out = window_sdpa(
+                qkv, bias_hnn.astype(cfg.dtype), mask, self.heads, head_dim
+            )
+        else:
+            qkv = qkv.reshape(bw, n, 3, self.heads, head_dim)
+            qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+            q, k, v = qkv[0], qkv[1], qkv[2]
+
+            attn = jnp.einsum("bhid,bhjd->bhij", q * scale, k)
+            attn = attn + bias_hnn[None].astype(attn.dtype)
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(bw // nW, nW, self.heads, n, n)
+                attn = attn + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(bw, self.heads, n, n)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, self.dim)
         return nn.Dense(self.dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                         name="proj")(out)
 

@@ -1,1 +1,12 @@
-from . import checkpoint, hf_import, imagenet  # noqa: F401
+from . import (  # noqa: F401
+    checkpoint,
+    export,
+    finetune,
+    flops,
+    hf_import,
+    imagenet,
+    latency_model,
+    logscrape,
+    metrics,
+    plots,
+)

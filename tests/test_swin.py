@@ -94,3 +94,17 @@ def test_swin_shift_changes_output():
     # constants collection carries the attn mask for the shifted block
     flat = jax.tree_util.tree_flatten_with_path(variables["constants"])[0]
     assert any("attn_mask" in jax.tree_util.keystr(kp) for kp, _ in flat)
+
+
+def test_swin_pallas_window_attention_matches_xla():
+    """kernel_mode=pallas (fused window attention) == xla path."""
+    cfg = swin_config("tiny").replace(
+        image_size=56, depths=(2,), num_heads=(3,), num_classes=7
+    )
+    model = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
+    variables = model.init(jax.random.key(1), x)
+    ref = model.apply(variables, x)
+    got = SwinTransformer(cfg.replace(kernel_mode="pallas")).apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
