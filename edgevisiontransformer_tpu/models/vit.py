@@ -297,6 +297,57 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     return x @ p["head"]["kernel"].astype(cfg.dtype) + p["head"]["bias"].astype(cfg.dtype)
 
 
+def fully_fused_vit_apply(model: ViT, variables, img: jax.Array,
+                          batch_block: int | None = None) -> jax.Array:
+    """Forward pass as ONE Pallas kernel (patch-embed + encoder + head).
+
+    Standard-style models only (single linear head); same params as
+    ``model.apply``.  The only XLA op is the patch rearrange of the input.
+    """
+    from ..ops.pallas.fused_vit_full import vit_full_forward
+    from ..ops.pallas.fused_encoder import stack_vit_layer_params
+
+    cfg = model.config
+    if cfg.mlp_head or cfg.heads_per_layer is not None or cfg.mlp_dim_per_layer is not None:
+        raise ValueError("fully-fused path requires standard head + uniform layers")
+    p = variables["params"]
+    dt = cfg.dtype
+
+    b = img.shape[0]
+    ps = cfg.patch_size
+    gh = cfg.image_size // ps
+    img = img.astype(dt)
+    patches = img.reshape(b, cfg.in_channels, gh, ps, gh, ps)
+    patches = jnp.transpose(patches, (0, 2, 4, 3, 5, 1)).reshape(
+        b, gh * gh, ps * ps * cfg.in_channels
+    )
+
+    pos = p["pos_embedding"].astype(dt)
+    embed_bias = pos.at[0].add(p["cls_token"].astype(dt)[0, 0])
+    embed_bias = embed_bias.at[1:].add(p["patch_bias"].astype(dt))
+
+    stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
+    stacked = jax.tree.map(lambda a: a.astype(dt), stacked)
+    if cfg.final_norm:
+        fg = p["final_norm"]["scale"].astype(dt)
+        fb = p["final_norm"]["bias"].astype(dt)
+    else:
+        fg = jnp.ones((cfg.dim,), dt)
+        fb = jnp.zeros((cfg.dim,), dt)
+    return vit_full_forward(
+        patches, stacked,
+        p["patch_kernel"].astype(dt), embed_bias,
+        fg, fb,
+        p["head"]["kernel"].astype(dt), p["head"]["bias"].astype(dt),
+        heads=cfg.heads, head_dim=cfg.resolved_head_dim,
+        eps=cfg.layernorm_eps,
+        reference_residual=cfg.reference_residual,
+        approx_gelu=cfg.gelu_approx,
+        final_norm=cfg.final_norm,
+        batch_block=batch_block,
+    )
+
+
 def pruned_vit_config(
     size: str = "tiny",
     prune_encoding: str = "all_head12_ffn1.0",

@@ -86,3 +86,36 @@ def test_pallas_sdpa_bf16():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.05
     )
+
+
+def test_fully_fused_vit_matches_xla():
+    """Whole-model single-kernel path == standard apply."""
+    from edgevisiontransformer_tpu.models.vit import (
+        ViT,
+        deit_config,
+        fully_fused_vit_apply,
+    )
+
+    cfg = deit_config("tiny").replace(depth=2)
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 224, 224))
+    params = model.init(jax.random.key(1), x)
+    ref = np.asarray(model.apply(params, x))
+    got = np.asarray(fully_fused_vit_apply(model, params, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-4)
+
+
+def test_fully_fused_rejects_reference_head():
+    from edgevisiontransformer_tpu.models.vit import (
+        ViT,
+        deit_config,
+        fully_fused_vit_apply,
+    )
+    import pytest as _pytest
+
+    cfg = deit_config("tiny", "reference").replace(depth=1)
+    model = ViT(cfg)
+    x = jnp.ones((1, 3, 224, 224))
+    params = model.init(jax.random.key(0), x)
+    with _pytest.raises(ValueError):
+        fully_fused_vit_apply(model, params, x)
