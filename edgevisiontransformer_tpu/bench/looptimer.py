@@ -26,7 +26,10 @@ import numpy as np
 
 
 def _chained_runner(fn: Callable, args: Sequence[Any], chain_arg: int):
-    """jit(n -> scalar) executing fn n times with data-dependent chaining."""
+    """jit((n, args) -> scalar) executing fn n times with data-dependent
+    chaining.  args are REAL jit arguments — closing over them would embed
+    every weight as an HLO constant (measured: DeiT-Base inflated the compile
+    request to >300 MB and the remote compiler rejected it)."""
     args = tuple(args)
 
     def body(i, carry):
@@ -50,14 +53,14 @@ def _chained_runner(fn: Callable, args: Sequence[Any], chain_arg: int):
         return new_args
 
     @jax.jit
-    def run(n):
-        final_args = jax.lax.fori_loop(0, n, body, args)
+    def run(n, cur_args):
+        final_args = jax.lax.fori_loop(0, n, body, cur_args)
         out = fn(*final_args)
         return sum(
             jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(out)
         )
 
-    return run
+    return lambda n: run(n, args)
 
 
 def measure_op_time(
