@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Build BENCHMARKS.md from bench_sweep_raw.jsonl lines (model benches +
+experiment dicts), adding MACs and fraction-of-roofline columns."""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from edgevisiontransformer_tpu.utils.flops import (  # noqa: E402
+    MODEL_FLOPS,
+    pruned_deit_flops,
+)
+
+PEAK_BF16 = 197e12
+
+
+def model_flops(name: str):
+    base = name.replace("_xla", "").replace("_fullfused", "").replace("_pallas", "")
+    for suffix in ("_fused",):
+        base = base.replace(suffix, "")
+    if base.startswith("pruned_deit_"):
+        rest = base[len("pruned_deit_"):]
+        size, _, enc = rest.partition("@")
+        toks = enc.split("_")
+        heads = int(toks[1].replace("head", ""))
+        ffn_keep = float(toks[2].replace("ffn", ""))
+        return pruned_deit_flops(size, heads, 1.0 - ffn_keep)
+    if base.startswith("deit_tiny_fused_npad"):
+        return MODEL_FLOPS["deit_tiny"]
+    return MODEL_FLOPS.get(base)
+
+
+def main(raw_path="bench_sweep_raw.jsonl", out_path="BENCHMARKS.md"):
+    rows, extras, errors = [], {}, []
+    for line in open(raw_path):
+        line = line.strip()
+        if not line:
+            continue
+        d = json.loads(line)
+        if "error" in d:
+            errors.append(d)
+        elif "ms" in d:
+            rows.append(d)
+        else:
+            extras.update(d)
+
+    lines = [
+        "# TPU v5e benchmark results (loop-delta device timing)",
+        "",
+        "Measured on one chip, bf16 compute. `SoL` = fraction of the 197 TF/s",
+        "bf16 roofline achieved (higher is better). Produced by",
+        "`tools/make_benchmarks_md.py` from `bench_sweep_raw.jsonl`.",
+        "",
+        "| model | batch | impl | ms | img/s | GFLOPs | SoL |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for d in rows:
+        name = d["name"]
+        impl = "fused" if d.get("fused") or "fused" in name else "xla"
+        if "pallas" in name:
+            impl = "pallas-window"
+        if "fullfused" in name:
+            impl = "full-kernel"
+        fl = model_flops(name)
+        if fl:
+            sol = (fl * d["batch"] / (d["ms"] / 1e3)) / PEAK_BF16
+            fl_s = f"{fl / 1e9:.2f}"
+            sol_s = f"{sol:.1%}"
+        else:
+            fl_s = sol_s = "—"
+        lines.append(
+            f"| {name} | {d['batch']} | {impl} | {d['ms']:.4f} | "
+            f"{d['img_per_s']:.0f} | {fl_s} | {sol_s} |"
+        )
+
+    if errors:
+        lines += ["", "## Errors", ""]
+        for e in errors:
+            lines.append(f"- `{e.get('name')}` b{e.get('batch')}: {e['error']}")
+
+    for key in ("quant_op_sweep", "fusion_ab", "micro_models_b1", "micro_models_b128"):
+        if key in extras:
+            lines += ["", f"## {key}", "", "```json",
+                      json.dumps(extras[key], indent=2), "```"]
+
+    open(out_path, "w").write("\n".join(lines) + "\n")
+    print(f"wrote {out_path}: {len(rows)} rows, {len(errors)} errors")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
