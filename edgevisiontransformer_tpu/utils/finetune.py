@@ -34,6 +34,9 @@ class FinetuneConfig:
     lr_scale_batch: Optional[int] = None  # if set: lr *= n_dev*mbs/512
     n_devices: int = 1
     log_every: int = 10
+    # Mid-training resume (a capability the reference lacks, SURVEY §5.4):
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 100
 
 
 def build_optimizer(cfg: FinetuneConfig) -> optax.GradientTransformation:
@@ -67,6 +70,18 @@ def finetune(
     opt_state = optimizer.init(params)
 
     step = 0
+    if cfg.checkpoint_dir:
+        import os
+
+        from .checkpoint import load_checkpoint, load_meta
+
+        latest = os.path.join(cfg.checkpoint_dir, "latest")
+        meta = load_meta(latest)
+        if meta is not None:
+            state = load_checkpoint(latest, {"params": params, "opt_state": opt_state})
+            params, opt_state = state["params"], state["opt_state"]
+            step = int(meta.get("step", 0))
+            log(f"resumed from {latest} at step {step}")
     t0 = time.time()
     for epoch in range(cfg.epochs):
         it = batches()
@@ -80,6 +95,16 @@ def finetune(
             if step % cfg.log_every == 0:
                 log(f"epoch {epoch} step {step} loss {float(metrics['loss']):.4f} "
                     f"({step / (time.time() - t0):.2f} it/s)")
+            if cfg.checkpoint_dir and step % cfg.checkpoint_every == 0:
+                import os
+
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    os.path.join(cfg.checkpoint_dir, "latest"),
+                    {"params": params, "opt_state": opt_state},
+                    meta={"step": step},
+                )
             if cfg.max_steps is not None and step >= cfg.max_steps:
                 break
         if eval_fn is not None:

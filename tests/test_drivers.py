@@ -136,3 +136,37 @@ def test_run_sparse_finetune_end_to_end():
         result.compiled_params, jnp.ones((1, 3, 32, 32)))
     assert jnp.isfinite(y).all()
     assert result.sparsity is not None
+
+
+def test_finetune_checkpoint_resume(tmp_path):
+    """Mid-training resume: kill after 2 steps, resume, reach same state as
+    an uninterrupted run (same data order)."""
+    from edgevisiontransformer_tpu.utils.finetune import FinetuneConfig, finetune
+
+    cfg = _cfg()
+    model = ViT(cfg)
+    params = model.init(jax.random.key(0), jnp.ones((1, 3, 32, 32)))
+    ckdir = str(tmp_path / "ck")
+
+    # uninterrupted 4 steps
+    full = finetune(model.apply, params, _batches(4),
+                    FinetuneConfig(lr=1e-2, max_steps=4), log=lambda s: None)
+
+    # run 2 steps with checkpointing, then "crash" and resume for 2 more
+    fc = FinetuneConfig(lr=1e-2, max_steps=2, checkpoint_dir=ckdir,
+                        checkpoint_every=1)
+    finetune(model.apply, params, _batches(4), fc, log=lambda s: None)
+
+    def tail_batches():
+        gen = _batches(4)()
+        next(gen), next(gen)  # resume consumed the first two in real life
+        yield from gen
+
+    fc2 = FinetuneConfig(lr=1e-2, max_steps=4, checkpoint_dir=ckdir,
+                         checkpoint_every=10)
+    resumed = finetune(model.apply, params, lambda: tail_batches(), fc2,
+                       log=lambda s: None)
+
+    a = np.asarray(jax.tree.leaves(full)[0])
+    b = np.asarray(jax.tree.leaves(resumed)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
