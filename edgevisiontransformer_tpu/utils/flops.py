@@ -167,3 +167,53 @@ MODEL_FLOPS: Dict[str, int] = {
 def model_macs(name: str) -> float:
     """MACs (= FLOPs / 2) for a registry model name."""
     return MODEL_FLOPS[name] / 2
+
+
+def t2t_vit_flops(
+    hidden: int = 384,
+    depth: int = 14,
+    heads: int = 6,
+    mlp_dim: int = 1152,
+    image_size: int = 224,
+    token_size: int = 64,
+    kernel_ratio: float = 0.5,
+    num_classes: int = 1000,
+) -> int:
+    """T2T-ViT forward FLOPs (our extension — the reference has no analytic
+    model for T2T; SwinFlops-style conventions).
+
+    Tokenizer: 3 soft-splits (7s4p2, 3s2p1, 3s2p1) + 2 single-head
+    TokenPerformers (hidden 64, m = 64*kernel_ratio random features) +
+    projection; encoder: standard blocks at (hidden, heads, mlp_dim).
+    """
+    m = int(token_size * kernel_ratio)
+
+    def performer(tokens: int, in_dim: int) -> int:
+        h = token_size
+        f = 2 * tokens * in_dim * 3 * h          # kqv dense
+        f += 2 * (2 * tokens * h * m + tokens * m)  # prm_exp for k and q (+exp)
+        f += 2 * tokens * m                      # D
+        f += 2 * tokens * h * m                  # kptv
+        f += 2 * tokens * m * h                  # y
+        f += 2 * tokens * h * h                  # attn_output
+        f += 2 * 2 * tokens * h * h              # mlp (h->h->h)
+        return f
+
+    s0 = image_size // 4          # 56
+    s1 = s0 // 2                  # 28
+    s2 = s1 // 2                  # 14
+    total = performer(s0 * s0, 7 * 7 * 3)
+    total += performer(s1 * s1, token_size * 9)
+    total += 2 * s2 * s2 * (token_size * 9) * hidden  # projection
+    s = s2 * s2 + 1
+    total += depth * transformer_block_flops(hidden, s, mlp_dim, heads)
+    total += 2 * hidden * num_classes
+    return int(total)
+
+
+MODEL_FLOPS.update({
+    "t2t_vit_7": t2t_vit_flops(256, 7, 4, 512),
+    "t2t_vit_10": t2t_vit_flops(256, 10, 4, 512),
+    "t2t_vit_12": t2t_vit_flops(256, 12, 4, 512),
+    "t2t_vit_14": t2t_vit_flops(384, 14, 6, 1152),
+})

@@ -46,3 +46,10 @@ def test_grids_monotone():
     heads = g["head_only"]["tiny"]
     assert all(a <= b for a, b in zip(heads, heads[1:]))  # more heads, more MACs
     assert set(MODEL_FLOPS) >= {"deit_tiny", "swin_tiny", "swin_base"}
+
+
+def test_t2t_flops_close_to_published():
+    # draw.py anchors: t2t_vit_7 1.1 GMACs, t2t_vit_14 4.8 GMACs
+    assert abs(model_macs("t2t_vit_7") / 1e9 - 1.1) < 0.1
+    assert abs(model_macs("t2t_vit_14") / 1e9 - 4.8) < 0.1
+    assert model_macs("t2t_vit_10") < model_macs("t2t_vit_12")
