@@ -246,7 +246,7 @@ def get_deit_base(style: str = "standard", **kw) -> ViT:
 
 def fused_vit_apply(model: ViT, variables, img: jax.Array,
                     batch_block: int | None = None,
-                    n_pad_multiple: int = 128) -> jax.Array:
+                    n_pad_multiple: int = 8) -> jax.Array:
     """Forward pass using the whole-encoder Pallas kernel.
 
     Same params as ``model.apply`` (bit-for-bit interchangeable); the encoder

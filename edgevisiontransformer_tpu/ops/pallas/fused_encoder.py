@@ -148,11 +148,15 @@ def encoder_forward(
     reference_residual: bool = False,
     approx_gelu: bool = False,
     batch_block: int | None = None,
-    n_pad_multiple: int = 128,
+    n_pad_multiple: int = 8,
 ) -> jax.Array:
     """Run the full encoder. x: [b, n, dim]; stacked: dict of [L, ...] arrays
     with keys ln1_g ln1_b qkv_w qkv_b out_w out_b ln2_g ln2_b fc1_w fc1_b
-    fc2_w fc2_b (vectors stored [L, 1, d]; qkv_b may be zeros)."""
+    fc2_w fc2_b (vectors stored [L, 1, d]; qkv_b may be zeros).
+
+    n_pad_multiple=8 measured fastest on v5e (197 -> 200 tokens): score
+    matrices shrink 39% vs 256-padding and Mosaic handles the non-128 lane
+    dimension fine (deit_tiny b1: 0.044 ms vs 0.069 ms at 256-pad)."""
     b, n, dim = x.shape
     depth = stacked["qkv_w"].shape[0]
     inner = stacked["qkv_w"].shape[2]
