@@ -31,19 +31,33 @@ def model_flops(name: str):
     return MODEL_FLOPS.get(base)
 
 
-def main(raw_path="bench_sweep_raw.jsonl", out_path="BENCHMARKS.md"):
+def main(*paths):
+    raw_paths = [p for p in paths if p.endswith(".jsonl")] or ["bench_sweep_raw.jsonl"]
+    out_path = next((p for p in paths if p.endswith(".md")), "BENCHMARKS.md")
     rows, extras, errors = [], {}, []
-    for line in open(raw_path):
+    lines_in = []
+    for rp in raw_paths:
+        lines_in += list(open(rp))
+    for line in lines_in:
         line = line.strip()
         if not line:
             continue
         d = json.loads(line)
+        if "check" in d:
+            continue
         if "error" in d:
             errors.append(d)
         elif "ms" in d:
             rows.append(d)
         else:
             extras.update(d)
+
+    # dedup: keep the LAST measurement per (name, batch, impl-ish key)
+    seen = {}
+    for d in rows:
+        key = (d["name"], d["batch"], bool(d.get("fused")))
+        seen[key] = d
+    rows = list(seen.values())
 
     lines = [
         "# TPU v5e benchmark results (loop-delta device timing)",
