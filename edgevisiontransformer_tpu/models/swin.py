@@ -49,6 +49,9 @@ class SwinConfig:
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     kernel_mode: str = "xla"
+    # fp32 softmax is the default (parity); bf16 halves the HBM traffic of
+    # the [B*nW, heads, 49, 49] attention intermediates for serving
+    softmax_fp32: bool = True
 
     def replace(self, **kw) -> "SwinConfig":
         return dataclasses.replace(self, **kw)
@@ -150,7 +153,10 @@ class WindowAttention(nn.Module):
                 attn = attn.reshape(bw // nW, nW, self.heads, n, n)
                 attn = attn + mask[None, :, None].astype(attn.dtype)
                 attn = attn.reshape(bw, self.heads, n, n)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+            if cfg.softmax_fp32:
+                attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+            else:
+                attn = jax.nn.softmax(attn, axis=-1)
 
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, self.dim)

@@ -24,17 +24,19 @@ from .common import round_up, use_interpret
 
 
 def _win_attn_kernel(
-    qkv_ref,   # [wb, n_pad, 3*heads*hd]
-    bias_ref,  # [heads, n_pad, n_pad]  (rel-pos bias, pre-expanded)
-    mask_ref,  # [wb, n_pad, n_pad]     (additive shift mask or zeros)
-    o_ref,     # [wb, n_pad, heads*hd]
-    *,
+    *refs,
     wb: int,
     heads: int,
     head_dim: int,
     seq_len: int,
     scale: float,
+    has_mask: bool,
 ):
+    if has_mask:
+        qkv_ref, bias_ref, mask_ref, o_ref = refs
+    else:
+        qkv_ref, bias_ref, o_ref = refs
+        mask_ref = None
     hd = head_dim
     n_pad = qkv_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
@@ -50,7 +52,8 @@ def _win_attn_kernel(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
             s = s + bias_ref[i].astype(jnp.float32)
-            s = s + mask_ref[j].astype(jnp.float32)
+            if mask_ref is not None:
+                s = s + mask_ref[j].astype(jnp.float32)
             s = jnp.where(key_ok, s, -1e30)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
@@ -77,14 +80,24 @@ def window_sdpa(
 
     qkv_p = jnp.pad(qkv, ((0, nW_pad - nW), (0, n_pad - n), (0, 0)))
     bias_p = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
-    if mask is None:
-        mask_full = jnp.zeros((nW_pad, n_pad, n_pad), qkv.dtype)
-    else:
+
+    in_specs = [
+        pl.BlockSpec((wb, n_pad, 3 * heads * head_dim),
+                     lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, n_pad, n_pad), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qkv_p, bias_p]
+    if mask is not None:
         reps = nW // mask.shape[0]
         mask_full = jnp.tile(mask, (reps, 1, 1))
         mask_full = jnp.pad(
             mask_full, ((0, nW_pad - nW), (0, n_pad - n), (0, n_pad - n))
         ).astype(qkv.dtype)
+        in_specs.append(
+            pl.BlockSpec((wb, n_pad, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(mask_full)
 
     out = pl.pallas_call(
         functools.partial(
@@ -94,21 +107,15 @@ def window_sdpa(
             head_dim=head_dim,
             seq_len=n,
             scale=head_dim**-0.5,
+            has_mask=mask is not None,
         ),
         grid=(nW_pad // wb,),
-        in_specs=[
-            pl.BlockSpec((wb, n_pad, 3 * heads * head_dim),
-                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, n_pad, n_pad), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, n_pad, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (wb, n_pad, heads * head_dim), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nW_pad, n_pad, heads * head_dim), qkv.dtype),
         interpret=use_interpret(),
-    )(qkv_p, bias_p, mask_full)
+    )(*operands)
     return out[:nW, :n, :]
