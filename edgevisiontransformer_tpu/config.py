@@ -67,7 +67,6 @@ class ViTConfig:
 
     # Dropout (reference T2T performer uses 0.1; DeiT finetunes use 0).
     dropout_rate: float = 0.0
-    attn_dropout_rate: float = 0.0
 
     # Kernel selection: "xla" = plain jnp (reference impl), "pallas" = fused.
     kernel_mode: str = "xla"
