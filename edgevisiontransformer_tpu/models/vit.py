@@ -256,8 +256,15 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     from ..ops.pallas.fused_encoder import encoder_forward, stack_vit_layer_params
 
     cfg = model.config
-    if cfg.heads_per_layer is not None or cfg.mlp_dim_per_layer is not None:
-        raise ValueError("fused encoder requires uniform per-layer shapes")
+    heads, mlp = cfg.heads, cfg.mlp_dim
+    if cfg.heads_per_layer is not None:
+        if len(set(cfg.heads_per_layer)) != 1:
+            raise ValueError("fused encoder requires uniform per-layer heads")
+        heads = cfg.heads_per_layer[0]
+    if cfg.mlp_dim_per_layer is not None:
+        if len(set(cfg.mlp_dim_per_layer)) != 1:
+            raise ValueError("fused encoder requires uniform per-layer mlp dims")
+        mlp = cfg.mlp_dim_per_layer[0]
     p = variables["params"]
 
     img = img.astype(cfg.dtype)
@@ -275,7 +282,7 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     x = encoder_forward(
         x,
         stacked,
-        heads=cfg.heads,
+        heads=heads,
         head_dim=cfg.resolved_head_dim,
         eps=cfg.layernorm_eps,
         reference_residual=cfg.reference_residual,

@@ -119,3 +119,31 @@ def test_fully_fused_rejects_reference_head():
     params = model.init(jax.random.key(0), x)
     with _pytest.raises(ValueError):
         fully_fused_vit_apply(model, params, x)
+
+
+def test_fused_encoder_uniform_pruned():
+    """Uniformly pruned models ('all_headH_ffnF') run through the fused kernel."""
+    from edgevisiontransformer_tpu.models.vit import (
+        ViT,
+        fused_vit_apply,
+        pruned_vit_config,
+    )
+
+    cfg = pruned_vit_config(size="tiny", prune_encoding="all_head2_ffn0.5").replace(depth=2)
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 224, 224))
+    params = model.init(jax.random.key(1), x)
+    ref = np.asarray(model.apply(params, x))
+    got = np.asarray(fused_vit_apply(model, params, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-4)
+
+    # non-uniform still rejected
+    import pytest as _pytest
+
+    cfg2 = pruned_vit_config(
+        size="tiny", prune_encoding="layerwise_h2-d0.5_h3-d1.0"
+    ).replace(depth=2)
+    m2 = ViT(cfg2)
+    p2 = m2.init(jax.random.key(0), x)
+    with _pytest.raises(ValueError):
+        fused_vit_apply(m2, p2, x)
