@@ -140,10 +140,9 @@ def test_fused_encoder_uniform_pruned():
     # non-uniform still rejected
     import pytest as _pytest
 
-    cfg2 = pruned_vit_config(
-        size="tiny", prune_encoding="layerwise_h2-d0.5_h3-d1.0"
-    ).replace(depth=2)
+    enc = "layerwise_" + "_".join(["h2-d0.5"] * 6 + ["h3-d1.0"] * 6)
+    cfg2 = pruned_vit_config(size="tiny", prune_encoding=enc)
     m2 = ViT(cfg2)
-    p2 = m2.init(jax.random.key(0), x)
+    p2 = jax.eval_shape(lambda: m2.init(jax.random.key(0), x))
     with _pytest.raises(ValueError):
         fused_vit_apply(m2, p2, x)
