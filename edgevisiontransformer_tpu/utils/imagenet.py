@@ -117,6 +117,46 @@ def evaluate(
     return correct / max(total, 1)
 
 
+def evaluate_sharded(
+    apply_fn: Callable,
+    params,
+    data_dir: str,
+    mesh,
+    batch_size: int = 64,
+    limit: Optional[int] = None,
+    crop: int = 224,
+    resize: int = 256,
+) -> float:
+    """Data-parallel top-1 eval over a mesh: the batch is dp-sharded and the
+    correct-count psum is inserted by XLA (replaces the reference's
+    DistributedSampler + dist.reduce protocol, classifier_eval.py:37-106)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    samples, _ = list_image_folder(data_dir)
+    if limit:
+        samples = samples[:limit]
+    batch_sharding = NamedSharding(mesh, P("dp"))
+
+    @jax.jit
+    def step(params, x):
+        return jnp.argmax(apply_fn(params, x), axis=-1)
+
+    correct = total = 0
+    with mesh:
+        for x, y in iterate_batches(samples, batch_size, resize, crop):
+            if x.shape[0] != batch_size:
+                pad = batch_size - x.shape[0]
+                xp = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            else:
+                pad, xp = 0, x
+            xs = jax.device_put(jnp.asarray(xp), batch_sharding)
+            pred = np.asarray(step(params, xs))[: x.shape[0]]
+            correct += int((pred == y).sum())
+            total += len(y)
+    return correct / max(total, 1)
+
+
 def write_accuracy_marker(model_dir: str, acc: float) -> str:
     """Reference marker-file convention (evaluate_iterative_pruned_deit.py:44-46)."""
     os.makedirs(model_dir, exist_ok=True)

@@ -120,3 +120,31 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_evaluate_sharded_matches_single(tmp_path):
+    """dp-sharded eval == single-device eval on the same ImageFolder."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    from PIL import Image
+
+    from edgevisiontransformer_tpu.utils.imagenet import evaluate, evaluate_sharded
+
+    rng = np.random.RandomState(0)
+    for cls in ["a", "b"]:
+        d = tmp_path / "val" / cls
+        d.mkdir(parents=True)
+        for i in range(8):
+            Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(
+                d / f"{i}.jpg")
+
+    model = _small_model()
+    params = model.init(jax.random.key(0), jnp.ones((1, 3, 32, 32)))
+    apply_fn = lambda p, x: model.apply(p, x)
+    a1 = evaluate(apply_fn, params, str(tmp_path / "val"), batch_size=8,
+                  resize=36, crop=32)
+    mesh = make_mesh(dp=8, tp=1)
+    a2 = evaluate_sharded(apply_fn, params, str(tmp_path / "val"), mesh,
+                          batch_size=8, resize=36, crop=32)
+    assert a1 == a2
