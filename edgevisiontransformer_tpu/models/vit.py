@@ -253,7 +253,11 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     stack runs as one pallas_call (ops/pallas/fused_encoder.py) instead of
     per-layer XLA ops.  Requires uniform per-layer shapes (unpruned models).
     """
-    from ..ops.pallas.fused_encoder import encoder_forward, stack_vit_layer_params
+    from ..ops.pallas.fused_encoder import (
+        encoder_forward,
+        encoder_forward_blocked,
+        stack_vit_layer_params,
+    )
 
     cfg = model.config
     heads, mlp = cfg.heads, cfg.mlp_dim
@@ -279,9 +283,7 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
 
     stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
     stacked = jax.tree.map(lambda a: a.astype(cfg.dtype), stacked)
-    x = encoder_forward(
-        x,
-        stacked,
+    kw = dict(
         heads=heads,
         head_dim=cfg.resolved_head_dim,
         eps=cfg.layernorm_eps,
@@ -290,6 +292,16 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
         batch_block=batch_block,
         n_pad_multiple=n_pad_multiple,
     )
+    # per-layer weight footprint (bf16, double-buffered) beyond ~8 MB needs
+    # the MLP-blocked variant (DeiT-Base)
+    inner = stacked["qkv_w"].shape[2]
+    mlp_d = stacked["fc1_w"].shape[2]
+    layer_bytes = 2 * 2 * (cfg.dim * inner + heads * cfg.resolved_head_dim * cfg.dim
+                           + 2 * cfg.dim * mlp_d)
+    if layer_bytes > 8 * 1024 * 1024 and mlp_d % 768 == 0:
+        x = encoder_forward_blocked(x, stacked, mlp_chunk=768, **kw)
+    else:
+        x = encoder_forward(x, stacked, **kw)
 
     if cfg.final_norm:
         x = layer_norm(

@@ -279,3 +279,185 @@ def stack_vit_layer_params(params: dict, depth: int, qkv_bias: bool) -> dict:
         "fc2_w": stack(lambda b: b["ffn"]["fc2_kernel"]),
         "fc2_b": stack(lambda b: b["ffn"]["fc2_bias"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# MLP-blocked variant: supports models whose per-layer weights exceed VMEM
+# (DeiT-Base: 2x14 MB double-buffered).  Grid (batch_blocks, depth, S): the
+# attention sublayer runs at substage 0; the MLP streams fc1/fc2 in S
+# hidden-dim chunks accumulated in an fp32 scratch.
+# ---------------------------------------------------------------------------
+
+
+def _encoder_kernel_blocked(
+    x_ref,
+    ln1_g_ref, ln1_b_ref, qkv_w_ref, qkv_b_ref, out_w_ref, out_b_ref,
+    ln2_g_ref, ln2_b_ref, fc1_w_ref, fc1_b_ref, fc2_w_ref, fc2_b_ref,
+    o_ref,
+    x_scratch,
+    macc,          # [bm*n_pad, dim] fp32 MLP accumulator
+    *,
+    bm: int,
+    n_pad: int,
+    heads: int,
+    head_dim: int,
+    seq_len: int,
+    eps: float,
+    scale: float,
+    reference_residual: bool,
+    approx_gelu: bool,
+):
+    li = pl.program_id(1)
+    si = pl.program_id(2)
+    n_sub = pl.num_programs(2)
+
+    @pl.when(jnp.logical_and(li == 0, si == 0))
+    def _():
+        x_scratch[:] = x_ref[:]
+
+    dtype = x_scratch.dtype
+
+    # ---- attention sublayer (substage 0 only) ----
+    @pl.when(si == 0)
+    def _():
+        x = x_scratch[:]
+        h = _ln(x, ln1_g_ref[0], ln1_b_ref[0], eps).astype(dtype)
+        qkv = (
+            jax.lax.dot(h, qkv_w_ref[0], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + qkv_b_ref[0]
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+        key_mask = col < seq_len
+        hd = head_dim
+        att_rows = []
+        for j in range(bm):
+            row0 = j * n_pad
+            parts = []
+            for i in range(heads):
+                q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
+                k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
+                v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                ) * scale
+                s = jnp.where(key_mask, s, -1e30)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                parts.append(jax.lax.dot(p.astype(dtype), v,
+                                         preferred_element_type=jnp.float32))
+            att_rows.append(jnp.concatenate(parts, axis=-1))
+        att = jnp.concatenate(att_rows, axis=0).astype(dtype)
+        attn_out = (
+            jax.lax.dot(att, out_w_ref[0], preferred_element_type=jnp.float32)
+            + out_b_ref[0].astype(jnp.float32)
+        )
+        xa = (attn_out + (h if reference_residual else x).astype(jnp.float32)).astype(dtype)
+        x_scratch[:] = xa
+        # init MLP accumulator with the fc2 bias
+        macc[:] = jnp.zeros_like(macc) + fc2_b_ref[0].astype(jnp.float32)
+
+    # ---- MLP chunk (every substage) ----
+    x = x_scratch[:]
+    h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
+    hid = (
+        jax.lax.dot(h2, fc1_w_ref[0], preferred_element_type=jnp.float32)
+        .astype(dtype)
+        + fc1_b_ref[0]
+    )
+    hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+    macc[:] = macc[:] + jax.lax.dot(hid, fc2_w_ref[0],
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(si == n_sub - 1)
+    def _():
+        xm = (macc[:] + (h2 if reference_residual else x).astype(jnp.float32)).astype(dtype)
+        x_scratch[:] = xm
+
+        @pl.when(li == pl.num_programs(1) - 1)
+        def _():
+            o_ref[:] = xm
+
+
+def encoder_forward_blocked(
+    x: jax.Array,
+    stacked: dict,
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    reference_residual: bool = False,
+    approx_gelu: bool = False,
+    batch_block: int | None = None,
+    n_pad_multiple: int = 8,
+    mlp_chunk: int = 768,
+) -> jax.Array:
+    """MLP-blocked whole-encoder kernel (for dim >= 768 models)."""
+    b, n, dim = x.shape
+    depth = stacked["qkv_w"].shape[0]
+    inner = stacked["qkv_w"].shape[2]
+    mlp = stacked["fc1_w"].shape[2]
+    if mlp % mlp_chunk != 0:
+        raise ValueError(f"mlp {mlp} not divisible by chunk {mlp_chunk}")
+    n_sub = mlp // mlp_chunk
+    n_pad = round_up(n, n_pad_multiple)
+
+    bm = batch_block if batch_block is not None else 1
+    bm = min(max(bm, 1), b)
+    b_pad = round_up(b, bm)
+
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    xp = xp.reshape(b_pad * n_pad, dim)
+
+    def wspec(shape):
+        return pl.BlockSpec((1,) + shape, lambda bi, li, si: (li,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _encoder_kernel_blocked,
+        bm=bm, n_pad=n_pad, heads=heads, head_dim=head_dim, seq_len=n,
+        eps=eps, scale=head_dim**-0.5,
+        reference_residual=reference_residual, approx_gelu=approx_gelu,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // bm, depth, n_sub),
+        in_specs=[
+            pl.BlockSpec((bm * n_pad, dim), lambda bi, li, si: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            wspec((1, dim)), wspec((1, dim)),
+            wspec((dim, inner)), wspec((1, inner)),
+            wspec((heads * head_dim, dim)), wspec((1, dim)),
+            wspec((1, dim)), wspec((1, dim)),
+            # fc1 chunked over hidden cols; fc2 over hidden rows
+            pl.BlockSpec((1, dim, mlp_chunk), lambda bi, li, si: (li, 0, si),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mlp_chunk), lambda bi, li, si: (li, 0, si),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mlp_chunk, dim), lambda bi, li, si: (li, si, 0),
+                         memory_space=pltpu.VMEM),
+            wspec((1, dim)),
+        ],
+        out_specs=pl.BlockSpec((bm * n_pad, dim), lambda bi, li, si: (bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad * n_pad, dim), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm * n_pad, dim), x.dtype),
+            pltpu.VMEM((bm * n_pad, dim), jnp.float32),
+        ],
+        interpret=use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        xp,
+        stacked["ln1_g"], stacked["ln1_b"],
+        stacked["qkv_w"], stacked["qkv_b"],
+        stacked["out_w"], stacked["out_b"],
+        stacked["ln2_g"], stacked["ln2_b"],
+        stacked["fc1_w"], stacked["fc1_b"],
+        stacked["fc2_w"], stacked["fc2_b"],
+    )
+    return out.reshape(b_pad, n_pad, dim)[:b, :n, :]

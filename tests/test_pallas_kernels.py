@@ -146,3 +146,38 @@ def test_fused_encoder_uniform_pruned():
     p2 = jax.eval_shape(lambda: m2.init(jax.random.key(0), x))
     with _pytest.raises(ValueError):
         fused_vit_apply(m2, p2, x)
+
+
+def test_blocked_encoder_matches_plain():
+    """MLP-blocked kernel variant == plain fused kernel == XLA."""
+    from edgevisiontransformer_tpu.models.vit import ViT, deit_config
+    from edgevisiontransformer_tpu.ops.pallas.fused_encoder import (
+        encoder_forward,
+        encoder_forward_blocked,
+        stack_vit_layer_params,
+    )
+
+    cfg = deit_config("tiny").replace(depth=2)
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 197, 192))
+    params = model.init(jax.random.key(1), jnp.ones((1, 3, 224, 224)))["params"]
+    stacked = stack_vit_layer_params(params, 2, cfg.qkv_bias)
+    ref = encoder_forward(x, stacked, heads=3, head_dim=64, eps=1e-6)
+    got = encoder_forward_blocked(x, stacked, heads=3, head_dim=64, eps=1e-6,
+                                  mlp_chunk=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_base_dispatches_to_blocked():
+    """fused_vit_apply on DeiT-Base shapes must route to the blocked kernel
+    and match XLA."""
+    from edgevisiontransformer_tpu.models.vit import ViT, deit_config, fused_vit_apply
+
+    cfg = deit_config("base").replace(depth=1)
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 224, 224))
+    params = model.init(jax.random.key(1), x)
+    ref = np.asarray(model.apply(params, x))
+    got = np.asarray(fused_vit_apply(model, params, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-4)
