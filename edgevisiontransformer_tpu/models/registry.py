@@ -57,3 +57,39 @@ for _v in (7, 10, 12, 14):
 
 for _size in ("tiny", "small", "base"):
     _REGISTRY[f"swin_{_size}"] = (lambda s: lambda **kw: get_swin(s, **kw))(_size)
+
+
+class _CNNWrapper:
+    """Adapter giving CNN zoo models the registry interface (a .config with
+    image_size; flax BatchNorm stats folded into variables)."""
+
+    def __init__(self, module):
+        self.module = module
+
+        class _Cfg:
+            image_size = 224
+
+        self.config = _Cfg()
+
+    def init(self, rng, x):
+        return self.module.init(rng, x)
+
+    def apply(self, variables, x, **kw):
+        return self.module.apply(variables, x, **kw)
+
+
+def _make_cnn(name):
+    def build(**kw):
+        from .cnn.zoo import get_cnn
+
+        kw.pop("dtype", None)  # CNN zoo modules are dtype-agnostic (fp32 BN)
+        kw.pop("style", None)
+        return _CNNWrapper(get_cnn(name, **kw))
+
+    return build
+
+
+from .cnn.zoo import CNN_ZOO as _CNN_ZOO  # noqa: E402
+
+for _name in _CNN_ZOO:
+    _REGISTRY[_name] = _make_cnn(_name)

@@ -78,3 +78,17 @@ def test_eval_cmd_impl_consistency(tmp_path, capsys):
         ]) == 0
         out = capsys.readouterr().out
         assert "top1" in out
+
+
+def test_registry_covers_cnn_zoo():
+    from edgevisiontransformer_tpu.models.registry import available_models, build_model
+
+    names = available_models()
+    assert "mobilenet_v2" in names and "inception_v3" in names
+    import jax
+    import jax.numpy as jnp
+
+    model, shape = build_model("mobilenet_v2", dtype=jnp.bfloat16)
+    assert shape == (3, 224, 224)
+    v = jax.eval_shape(lambda: model.init(jax.random.key(0), jnp.ones((1,) + shape)))
+    assert "params" in v
