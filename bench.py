@@ -76,6 +76,14 @@ def main():
     xt = jnp.ones((bs_thr, 3, 224, 224), dtype)
     thr = measure_op_time(apply, (params, xt), iters=30, repeats=3, chain_arg=1)
 
+    from edgevisiontransformer_tpu.bench.harness import compiled_mem_mb, device_mem_mb
+
+    peak_mb, live_mb = device_mem_mb()
+    if peak_mb is None:
+        # Tunneled backend exposes no allocator stats; report the compiled
+        # executable's static HBM footprint (args+outputs+temps+program).
+        peak_mb = compiled_mem_mb(jax.jit(apply), (params, x))
+
     flops = deit_flops(cfg.dim, cfg.depth, cfg.mlp_dim) * batch
     param_bytes = sum(p.size * p.dtype.itemsize for p in jax.tree.leaves(params))
     act_bytes = batch * 3 * 224 * 224 * 2
@@ -92,6 +100,8 @@ def main():
         "kernel_mode": kernel_mode,
         "throughput_img_per_s_b128": round(bs_thr / (thr["p50_ms"] / 1e3), 1),
         "roofline_ms": round(roofline_ms, 5),
+        "peak_hbm_mb": round(peak_mb, 2) if peak_mb is not None else None,
+        "live_hbm_mb": round(live_mb, 2) if live_mb is not None else None,
         "device": str(jax.devices()[0]),
     }))
 

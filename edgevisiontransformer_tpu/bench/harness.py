@@ -5,20 +5,28 @@ TPU-native replacement for the reference's adb + TFLite
 README.md:34-65): same protocol (configurable warmup/measure runs, default
 num_runs=50 warmup_runs=50 per README.md:45-47), same reported statistics
 (avg/std/min/max + init time + memory footprint) — but the timed region is a
-jit-compiled XLA executable driven to completion with ``block_until_ready``,
-and the memory number is live/peak HBM from the device allocator instead of
-/proc RSS on a phone.
+jit-compiled XLA executable, and the memory number is live/peak HBM from the
+device allocator instead of /proc RSS on a phone.
+
+Timing core: ``looptimer.measure_op_time`` (loop-delta method).  On this
+tunneled runtime ``block_until_ready`` acks at *dispatch*, not device
+completion, so naive per-dispatch wall timing reports impossible numbers
+(measured 2.6 PFLOP/s); the loop-delta method chains K in-jit iterations and
+differences against a 1-iteration run so every fixed cost (dispatch, tunnel
+round trip, the sync fetch) cancels.  It reproduces the v5e bf16 roofline
+within ~4%.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
-import statistics
 import time
 from typing import Any, Callable, Optional, Sequence
 
 import jax
+
+from .looptimer import measure_op_time
 
 
 @dataclasses.dataclass
@@ -30,10 +38,11 @@ class BenchResult:
     max_ms: float
     p50_ms: float
     p99_ms: float
-    first_ms: float          # first post-compile run (reference "first" line)
-    init_ms: float           # compile time (reference "init" line)
+    first_ms: float          # first post-compile dispatch+sync wall (incl. ~30 ms tunnel RT)
+    init_ms: float           # trace+compile wall time (reference "init" line)
     count: int
     warmup: int
+    iters: int = 0           # loop-delta chain length actually used
     peak_hbm_mb: Optional[float] = None
     live_hbm_mb: Optional[float] = None
     throughput_per_s: Optional[float] = None  # items/s if batch provided
@@ -52,7 +61,11 @@ class BenchResult:
         )
 
 
-def _device_mem_mb(device) -> tuple[Optional[float], Optional[float]]:
+def device_mem_mb(device=None) -> tuple[Optional[float], Optional[float]]:
+    """(peak_mb, live_mb) from the device allocator, or (None, None) if the
+    backend doesn't expose memory_stats (the reference reads peak RSS from the
+    TFLite binary's "Peak memory footprint" line, README.md:64-65)."""
+    device = device if device is not None else jax.devices()[0]
     try:
         stats = device.memory_stats()
     except Exception:
@@ -65,23 +78,51 @@ def _device_mem_mb(device) -> tuple[Optional[float], Optional[float]]:
     return to_mb(peak), to_mb(live)
 
 
+# Back-compat alias (pre-round-2 private name).
+_device_mem_mb = device_mem_mb
+
+
+def compiled_mem_mb(jitted, args) -> Optional[float]:
+    """Static HBM footprint (MB) of the compiled executable: args + outputs +
+    XLA temp buffers + program.  The honest "Mem footprint(MB)" source on
+    this backend, where ``device.memory_stats()`` returns None; exact for
+    static shapes."""
+    try:
+        m = jitted.lower(*args).compile().memory_analysis()
+    except Exception:
+        return None
+    if m is None:
+        return None
+    total = (
+        m.argument_size_in_bytes
+        + m.output_size_in_bytes
+        + m.temp_size_in_bytes
+        + m.generated_code_size_in_bytes
+    )
+    return total / (1024 * 1024)
+
+
 def benchmark_fn(
     fn: Callable,
     args: Sequence[Any],
     *,
     name: str = "fn",
     num_runs: int = 50,
-    warmup_runs: int = 50,
+    warmup_runs: int = 2,
     batch_size: Optional[int] = None,
-    donate: bool = False,
+    iters: int = 100,
+    chain_arg: int = -1,
 ) -> BenchResult:
-    """Benchmark a jittable function.
+    """Benchmark a jittable function with device-true timing.
 
-    Per-run wall times with a full device sync each run (batch-1 latency
-    semantics, like the reference's per-inference timing). ``init_ms`` is the
-    jit trace+compile wall time, the analogue of TFLite's "init" line.
+    ``num_runs`` = loop-delta repeats (each repeat is one (K,1) measurement
+    pair, matching the reference's num_runs samples); ``iters`` is the
+    starting chain length, auto-raised until the delta clears the fixed-cost
+    jitter.  ``init_ms`` is the jit trace+compile wall time, the analogue of
+    TFLite's "init" line (on this runtime the remote compile happens
+    synchronously inside the first dispatch, so the wall time captures it).
     """
-    jfn = jax.jit(fn, donate_argnums=tuple(range(len(args))) if donate else ())
+    jfn = jax.jit(fn)
 
     t0 = time.perf_counter()
     out = jfn(*args)
@@ -93,36 +134,30 @@ def benchmark_fn(
     jax.block_until_ready(out)
     first_ms = (time.perf_counter() - t0) * 1e3
 
-    for _ in range(warmup_runs):
-        out = jfn(*args)
-    jax.block_until_ready(out)
-
-    times = []
-    for _ in range(num_runs):
-        t0 = time.perf_counter()
-        out = jfn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3)
-
-    times_sorted = sorted(times)
-    avg = sum(times) / len(times)
-    device = jax.devices()[0]
-    peak_mb, live_mb = _device_mem_mb(device)
+    stats = measure_op_time(
+        fn, args, iters=iters, repeats=num_runs, chain_arg=chain_arg,
+        warmup=warmup_runs,
+    )
+    peak_mb, live_mb = device_mem_mb()
+    if peak_mb is None:
+        peak_mb = compiled_mem_mb(jfn, args)
+    avg = stats["avg_ms"]
     return BenchResult(
         name=name,
         avg_ms=avg,
-        std_ms=statistics.pstdev(times) if len(times) > 1 else 0.0,
-        min_ms=times_sorted[0],
-        max_ms=times_sorted[-1],
-        p50_ms=times_sorted[len(times) // 2],
-        p99_ms=times_sorted[min(len(times) - 1, int(len(times) * 0.99))],
+        std_ms=stats["std_ms"],
+        min_ms=stats["min_ms"],
+        max_ms=stats["max_ms"],
+        p50_ms=stats["p50_ms"],
+        p99_ms=stats["max_ms"],
         first_ms=first_ms,
         init_ms=init_ms,
         count=num_runs,
         warmup=warmup_runs,
+        iters=stats["iters"],
         peak_hbm_mb=peak_mb,
         live_hbm_mb=live_mb,
-        throughput_per_s=(batch_size * 1e3 / avg) if batch_size else None,
+        throughput_per_s=(batch_size * 1e3 / avg) if batch_size and avg > 0 else None,
     )
 
 
@@ -131,52 +166,18 @@ def benchmark_throughput(
     args: Sequence[Any],
     *,
     name: str = "fn",
-    num_runs: int = 30,
-    warmup_runs: int = 10,
+    num_runs: int = 10,
+    warmup_runs: int = 2,
     batch_size: int = 1,
-    iters_per_run: int = 10,
+    iters: int = 30,
 ) -> BenchResult:
-    """Throughput-oriented variant: pipelined dispatch, sync per chunk.
+    """Throughput-oriented variant: same loop-delta core, larger-batch args.
 
-    Lets the device queue stay full (how a serving deployment drives TPU),
-    so the number reflects device throughput rather than host dispatch gaps.
+    The in-jit chained loop keeps the device queue saturated (how a serving
+    deployment drives TPU), so items/s = batch / per-iteration device time.
     """
-    jfn = jax.jit(fn)
-
-    t0 = time.perf_counter()
-    out = jfn(*args)
-    jax.block_until_ready(out)
-    init_ms = (time.perf_counter() - t0) * 1e3
-    first_ms = init_ms
-
-    for _ in range(warmup_runs):
-        out = jfn(*args)
-    jax.block_until_ready(out)
-
-    times = []
-    for _ in range(num_runs):
-        t0 = time.perf_counter()
-        for _ in range(iters_per_run):
-            out = jfn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3 / iters_per_run)
-
-    times_sorted = sorted(times)
-    avg = sum(times) / len(times)
-    peak_mb, live_mb = _device_mem_mb(jax.devices()[0])
-    return BenchResult(
-        name=name,
-        avg_ms=avg,
-        std_ms=statistics.pstdev(times) if len(times) > 1 else 0.0,
-        min_ms=times_sorted[0],
-        max_ms=times_sorted[-1],
-        p50_ms=times_sorted[len(times) // 2],
-        p99_ms=times_sorted[-1],
-        first_ms=first_ms,
-        init_ms=init_ms,
-        count=num_runs,
-        warmup=warmup_runs,
-        peak_hbm_mb=peak_mb,
-        live_hbm_mb=live_mb,
-        throughput_per_s=batch_size * 1e3 / avg,
+    res = benchmark_fn(
+        fn, args, name=name, num_runs=num_runs, warmup_runs=warmup_runs,
+        batch_size=batch_size, iters=iters,
     )
+    return res

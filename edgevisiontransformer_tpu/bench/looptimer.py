@@ -71,10 +71,22 @@ def measure_op_time(
     repeats: int = 5,
     chain_arg: int = -1,
     warmup: int = 1,
+    auto_iters: bool = True,
+    min_delta_ms: float = 1.0,
+    max_iters: int = 200_000,
 ) -> dict:
     """Per-op device time via the loop-delta method.
 
     Returns dict with ms statistics across ``repeats`` measurements.
+
+    ``auto_iters``: the loop delta must clear the fixed-cost jitter (~36 ms
+    tunnel round trip on TPU) or the estimate degenerates to 0-clamped noise —
+    for sub-µs ops the default 100 iters is orders of magnitude short.  When
+    on, iters is scaled until wall(run(K)) - wall(run(1)) >= the larger of
+    ``min_delta_ms`` and half the measured fixed cost wall(run(1)) — adaptive,
+    so CPU runs (fixed cost ~µs) don't over-scale while tunneled-TPU runs
+    (fixed cost ~36 ms) demand a delta that dwarfs the jitter.  The loop bound
+    is a dynamic jit argument, so rescaling never recompiles.
     """
     run = _chained_runner(fn, args, chain_arg)
 
@@ -84,11 +96,27 @@ def measure_op_time(
         np.asarray(val)  # true sync: 4-byte fetch
         return time.perf_counter() - t0
 
-    # Compile both branch counts (jit caches on shape, n is dynamic -> one
-    # executable; still warm both paths).
+    # Compile + warm both paths (n is a dynamic argument -> one executable).
     for _ in range(warmup):
         timed(1)
         timed(iters)
+
+    if auto_iters:
+        for _ in range(16):
+            if iters >= max_iters:
+                break
+            t1 = timed(1)
+            delta_ms = (timed(iters) - t1) * 1e3
+            floor_ms = max(min_delta_ms, 0.5 * t1 * 1e3)
+            if delta_ms >= floor_ms:
+                break
+            if delta_ms <= 0:
+                iters = min(max_iters, iters * 8)
+            else:
+                # Aim for 2x the floor so one rescale usually suffices.
+                need = int(iters * 2.0 * floor_ms / delta_ms)
+                iters = min(max_iters, max(iters * 2, need))
+            timed(iters)  # warm the new trip count's execution profile
 
     samples = []
     for _ in range(repeats):

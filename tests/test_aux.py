@@ -166,6 +166,29 @@ def test_looptimer_chaining_on_cpu():
     assert np.isfinite(v1) and np.isfinite(v100)
 
 
+def test_benchmark_fn_loopdelta_contract():
+    """harness.benchmark_fn must ride the loop-delta core (per-dispatch wall
+    timing is unsound on the tunneled runtime) and report the reference's
+    stat contract incl. memory fields."""
+    import jax.numpy as jnp
+
+    from edgevisiontransformer_tpu.bench import BenchResult, benchmark_fn
+
+    r = benchmark_fn(
+        lambda x: x @ x, (jnp.ones((64, 64)),), name="m64",
+        num_runs=2, warmup_runs=1, iters=5, chain_arg=0, batch_size=4,
+    )
+    assert isinstance(r, BenchResult)
+    assert r.avg_ms >= 0 and r.min_ms <= r.p50_ms <= r.max_ms
+    assert r.iters >= 5  # auto-raised chain length recorded
+    assert r.init_ms > 0 and r.first_ms > 0
+    assert r.throughput_per_s is None or r.throughput_per_s > 0
+    assert "Mem footprint(MB)" in r.summary()
+    import json
+
+    assert json.loads(r.to_json())["name"] == "m64"
+
+
 def test_measure_op_time_returns_stats():
     import jax.numpy as jnp
 

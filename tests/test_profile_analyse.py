@@ -16,6 +16,11 @@ from edgevisiontransformer_tpu.bench.profile import profile_vit, write_profile_c
 from edgevisiontransformer_tpu.models.vit import ViT, deit_config
 
 
+def _csv_repr(v: float) -> float:
+    """avg_ms exactly as it survives the "%.6f" CSV round trip."""
+    return float(f"{v:.6f}")
+
+
 def _make_csv(tmp_path):
     cfg = deit_config("tiny").replace(
         image_size=32, patch_size=16, dim=64, depth=2, heads=2, mlp_dim=128,
@@ -43,18 +48,21 @@ def test_profile_and_analyse_roundtrip(tmp_path):
 
     table = analyse_op(path)
     assert "FULLY_CONNECTED" in table and "ATTENTION" in table
-    # aggregated latency equals sum of rows
+    # Aggregated latency equals sum of rows.  The CSV stores avg_ms as
+    # "%.6f", so the oracle is the round-tripped representation, not the raw
+    # float (a raw-float rtol here flakes on sub-µs CPU rows).
     agg = sum(v["latency"] for v in table.values())
-    np.testing.assert_allclose(agg, sum(r["avg_ms"] for r in rows), rtol=1e-4)
+    expected = sum(_csv_repr(r["avg_ms"]) for r in rows)
+    np.testing.assert_allclose(agg, expected, rtol=1e-9, atol=1e-12)
 
 
 def test_attn_ffn_split(tmp_path):
     path, rows, _ = _make_csv(tmp_path)
     split = analyse_attn_ffn(path)
-    attn_expected = sum(r["avg_ms"] for r in rows if "/attn/" in r["name"])
-    np.testing.assert_allclose(split["attention_ms"], attn_expected, rtol=1e-4)
-    ffn_expected = sum(r["avg_ms"] for r in rows if "/ffn/" in r["name"])
-    np.testing.assert_allclose(split["ffn_ms"], ffn_expected, rtol=1e-4)
+    attn_expected = sum(_csv_repr(r["avg_ms"]) for r in rows if "/attn/" in r["name"])
+    np.testing.assert_allclose(split["attention_ms"], attn_expected, rtol=1e-9, atol=1e-12)
+    ffn_expected = sum(_csv_repr(r["avg_ms"]) for r in rows if "/ffn/" in r["name"])
+    np.testing.assert_allclose(split["ffn_ms"], ffn_expected, rtol=1e-9, atol=1e-12)
 
 
 def test_gelu_ln_and_series(tmp_path):
@@ -62,10 +70,10 @@ def test_gelu_ln_and_series(tmp_path):
     g = analyse_gelu_ln(path)
     # CPU loop-delta times can legitimately be 0.0 for tiny ops; check the
     # aggregation picked up the right row classes instead of positivity.
-    ln_expected = sum(r["avg_ms"] for r in rows if r["node_type"] == "LAYER_NORM")
-    np.testing.assert_allclose(g["layernorm_ms"], ln_expected, rtol=1e-4, atol=1e-9)
-    gelu_expected = sum(r["avg_ms"] for r in rows if r["node_type"] == "GELU_MLP")
-    np.testing.assert_allclose(g["gelu_ms"], gelu_expected, rtol=1e-4, atol=1e-9)
+    ln_expected = sum(_csv_repr(r["avg_ms"]) for r in rows if r["node_type"] == "LAYER_NORM")
+    np.testing.assert_allclose(g["layernorm_ms"], ln_expected, rtol=1e-9, atol=1e-12)
+    gelu_expected = sum(_csv_repr(r["avg_ms"]) for r in rows if r["node_type"] == "GELU_MLP")
+    np.testing.assert_allclose(g["gelu_ms"], gelu_expected, rtol=1e-9, atol=1e-12)
     series = fetch_all_op_latency(path)
     assert len(series) == len(rows)
     assert series[0][0] == rows[0]["name"]  # ordered by start
