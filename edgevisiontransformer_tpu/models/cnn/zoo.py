@@ -307,10 +307,11 @@ class ProxylessNAS(nn.Module):
         return _Classifier(self.num_classes)(x)
 
 
-from .inception import InceptionV3
+from .inception import InceptionResNetV2, InceptionV3
 
 CNN_ZOO = {
     "inception_v3": lambda **kw: InceptionV3(**kw),
+    "inception_resnet_v2": lambda **kw: InceptionResNetV2(**kw),
     "mobilenet_v1": lambda **kw: MobileNetV1(**kw),
     "mobilenet_v2": lambda **kw: MobileNetV2(**kw),
     "mobilenet_v3_large": lambda **kw: MobileNetV3(variant="large", **kw),

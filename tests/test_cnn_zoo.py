@@ -23,6 +23,7 @@ PARAM_RANGES = {
     "mnasnet": (4.2e6, 4.6e6),
     "proxyless_mobile": (3.9e6, 4.4e6),
     "inception_v3": (23.0e6, 24.5e6),
+    "inception_resnet_v2": (54.0e6, 57.5e6),  # keras: 55,873,736
 }
 
 
