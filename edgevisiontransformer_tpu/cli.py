@@ -9,7 +9,16 @@ where the command still makes sense on TPU:
   convert          quantized export: float16 | bfloat16 | dynamic-int8 (tf2tflite_cmd)
   export           save model checkpoint (export_tf_deit etc.)
   eval             ImageNet top-1 (eval_deit / eval_tf / eval_onnx ...)
-  prune_heads      are16heads iterative head pruning driver (run_classifier)
+  prune_heads      are16heads head pruning: real Taylor importance from
+                   --data-dir, policy, slice, optional retrain + eval
+                   (run_classifier.py --do_prune)
+  finetune         retrain/finetune driver (classifier_training.py, finetune.py)
+  sparse_train     movement-pruning sparse finetune from a preset JSON
+                   (deit_pruning/src/train_main.py)
+  latency_model    collect / fit / predict RF latency predictor
+                   (deit_pruning/src/latency_model.py, get_latency.py)
+  experiments      fusion_ab | quant_sweep | prune_grid | micro sweeps
+                   (experiments.py)
   flops            analytic MACs tables (flops_calculation)
   models           list registry
 
@@ -225,34 +234,93 @@ def cmd_eval(argv):
         write_accuracy_marker(args.marker_dir, acc)
 
 
+def _make_batches(args, in_shape):
+    """() -> iterable of (images, labels) from --data-dir or --synthetic N.
+
+    The reference trains/evaluates on ImageFolder ImageNet
+    (/root/reference/are_16_heads/util.py:94-119); --synthetic provides an
+    offline stand-in with the same contract for smoke runs and tests.
+    """
+    if getattr(args, "data_dir", None):
+        from .utils.imagenet import iterate_batches, list_image_folder
+
+        samples, _ = list_image_folder(args.data_dir)
+        if getattr(args, "limit", None):
+            samples = samples[: args.limit]
+        crop = in_shape[-1]
+        resize = max(crop, round(crop * 256 / 224))
+        return lambda: iterate_batches(samples, args.batch, resize=resize, crop=crop)
+
+    n = getattr(args, "synthetic", 0)
+    if not n:
+        raise SystemExit("need --data-dir or --synthetic N")
+    rng = np.random.RandomState(0)
+    data = [
+        (rng.randn(args.batch, *in_shape).astype(np.float32),
+         rng.randint(0, 1000, size=args.batch).astype(np.int32))
+        for _ in range(n)
+    ]
+    return lambda: list(data)
+
+
 def cmd_prune_heads(argv):
     p = argparse.ArgumentParser(prog="prune_heads")
     p.add_argument("--model", default="deit_tiny")
     p.add_argument("--importance-file", default=None)
+    p.add_argument("--data-dir", default=None,
+                   help="compute real Taylor importance from these images")
+    p.add_argument("--importance-batches", type=int, default=8)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--random-importance", action="store_true",
+                   help="explicit opt-in to random scores (debug only)")
     p.add_argument("--prune-percent", type=float, nargs="+", default=[10.0])
     p.add_argument("--at-least-x-heads-per-layer", type=int, default=1)
+    p.add_argument("--eval", action="store_true",
+                   help="top-1 eval of the pruned model on --data-dir")
+    p.add_argument("--retrain-steps", type=int, default=0,
+                   help="SGD retrain steps on --data-dir after pruning")
+    p.add_argument("--checkpoint", default=None)
     p.add_argument("--output", default=None)
     p.add_argument("--style", default="standard")
     args = p.parse_args(argv)
 
     from .pruning import (
+        calculate_head_importance,
         determine_pruning_sequence,
         load_head_importance_txt,
         prune_heads_params,
         to_pruning_descriptor,
         what_to_prune,
     )
-    from .utils.checkpoint import save_checkpoint
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
 
     model, in_shape = _build_model(args.model, args.style)
     cfg = model.config
     params = model.init(jax.random.key(0), jnp.ones((1,) + in_shape))
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint, params)
 
     if args.importance_file:
         imp = load_head_importance_txt(args.importance_file)
-    else:
-        print("no --importance-file; using uniform random importance")
+    elif args.data_dir:
+        # Real Taylor importance (reference classifier_eval.py:111-225),
+        # the run_classifier.py --do_prune path's importance pass.
+        import itertools
+
+        batches = _make_batches(args, in_shape)
+        images_only = itertools.islice(
+            (x for x, _ in batches()), args.importance_batches)
+        imp = calculate_head_importance(cfg, params, images_only)
+        print("computed head importance from data:")
+        print(np.array2string(np.asarray(imp), precision=4))
+    elif args.random_importance:
+        print("using uniform random importance (--random-importance)")
         imp = np.random.RandomState(0).rand(cfg.depth, cfg.heads)
+    else:
+        raise SystemExit(
+            "need an importance source: --importance-file, --data-dir, "
+            "or --random-importance")
 
     seq = determine_pruning_sequence(
         None, args.prune_percent, cfg.heads, cfg.depth,
@@ -266,6 +334,25 @@ def cmd_prune_heads(argv):
         print(f"step {step}: prune {n} -> {to_pruning_descriptor(to_prune)}")
     new_cfg, new_params = prune_heads_params(cfg, params, to_prune)
     print(f"heads_per_layer: {new_cfg.heads_per_layer}")
+
+    if args.retrain_steps and args.data_dir:
+        from .models.vit import ViT
+        from .utils.finetune import FinetuneConfig, finetune
+
+        new_model = ViT(new_cfg)
+        new_params = finetune(
+            new_model.apply, new_params, _make_batches(args, in_shape),
+            FinetuneConfig(optimizer="sgd", epochs=10**6,
+                           max_steps=args.retrain_steps),
+        )
+    if args.eval and args.data_dir:
+        from .models.vit import ViT
+        from .utils.imagenet import evaluate
+
+        acc = evaluate(ViT(new_cfg).apply, new_params, args.data_dir,
+                       batch_size=args.batch, limit=args.limit)
+        print(f"pruned top1 {acc:.4f}")
+
     if args.output:
         save_checkpoint(args.output, new_params, meta={
             "model": args.model,
@@ -273,6 +360,222 @@ def cmd_prune_heads(argv):
             "pruned": to_pruning_descriptor(to_prune),
         })
         print(f"saved -> {args.output}")
+
+
+def cmd_finetune(argv):
+    """Retrain/finetune driver (reference classifier_training.py:18-184,
+    finetune.py; reachable from tools.py' train recipes)."""
+    p = argparse.ArgumentParser(prog="finetune")
+    p.add_argument("--model", default="deit_tiny")
+    p.add_argument("--style", default="standard")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N random batches (smoke/test mode)")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adamw"])
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--lr-scale-batch", type=int, default=None,
+                   help="if set, lr *= n_dev*batch/512 (train_main.py:225-227)")
+    p.add_argument("--resume-dir", default=None,
+                   help="mid-training checkpoint dir (resume if present)")
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+    from .utils.finetune import FinetuneConfig, finetune
+
+    model, in_shape = _build_model(args.model, args.style)
+    params = model.init(jax.random.key(0), jnp.ones((1,) + in_shape))
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint, params)
+    batches = _make_batches(args, in_shape)
+    fcfg = FinetuneConfig(
+        lr=args.lr, optimizer=args.optimizer, epochs=args.epochs,
+        max_steps=args.max_steps, grad_accum=args.grad_accum,
+        lr_scale_batch=args.lr_scale_batch, checkpoint_dir=args.resume_dir,
+    )
+    params = finetune(model.apply, params, batches, fcfg)
+    if args.output:
+        save_checkpoint(args.output, params, meta={
+            "model": args.model, "finetuned": True, "optimizer": args.optimizer,
+        })
+        print(f"saved -> {args.output}")
+    print("finetune done")
+
+
+def cmd_sparse_train(argv):
+    """Movement-pruning sparse finetune (reference train_main.py:104-437)."""
+    p = argparse.ArgumentParser(prog="sparse_train")
+    p.add_argument("--model", default="deit_tiny")
+    p.add_argument("--style", default="standard")
+    p.add_argument("--preset", default="topk-hybrid-struct-layerwise-tiny",
+                   help="preset name in configs/ or a JSON path")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--teacher-checkpoint", default=None,
+                   help="distillation teacher params (same arch)")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--warmup-steps", type=int, default=None)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--mask-lr", type=float, default=1e-2)
+    p.add_argument("--layerwise-thresholds", default=None,
+                   help='"h_0.5_d_0.3-..." DSL (README.md:78-82)')
+    p.add_argument("--final-finetune-steps", type=int, default=0)
+    p.add_argument("--no-compile", action="store_true",
+                   help="skip compile-to-static-shapes at the end")
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    from .pruning.sparse_driver import (
+        run_sparse_finetune,
+        sparse_config_from_preset,
+    )
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+
+    model, in_shape = _build_model(args.model, args.style)
+    cfg = model.config
+    params = model.init(jax.random.key(0), jnp.ones((1,) + in_shape))
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint, params)
+    teacher_apply = None
+    if args.teacher_checkpoint:
+        tparams = load_checkpoint(args.teacher_checkpoint, params)
+        teacher_apply = lambda x: model.apply(tparams, x)
+
+    warmup = args.warmup_steps if args.warmup_steps is not None else max(
+        1, args.steps // 10)
+    sparse = sparse_config_from_preset(
+        args.preset, warmup_steps=warmup,
+        layerwise_thresholds=args.layerwise_thresholds,
+    )
+    batches = _make_batches(args, in_shape)
+    res = run_sparse_finetune(
+        model.apply, cfg, params, sparse, batches, total_steps=args.steps,
+        lr=args.lr, mask_lr=args.mask_lr, teacher_apply=teacher_apply,
+        do_compile=not args.no_compile,
+        final_finetune_steps=args.final_finetune_steps,
+    )
+    summary = {"steps": args.steps, "preset": args.preset}
+    if res.compiled_cfg is not None:
+        summary["heads_per_layer"] = list(res.compiled_cfg.heads_per_layer or [])
+        summary["mlp_dim_per_layer"] = list(res.compiled_cfg.mlp_dim_per_layer or [])
+        summary["sparsity"] = res.sparsity
+    print(json.dumps(summary, default=float))
+    if args.output:
+        out_params = (res.compiled_params
+                      if res.compiled_params is not None else res.params)
+        meta = {"model": args.model, "preset": args.preset}
+        if res.compiled_cfg is not None:
+            meta["heads_per_layer"] = list(res.compiled_cfg.heads_per_layer or [])
+            meta["mlp_dim_per_layer"] = list(res.compiled_cfg.mlp_dim_per_layer or [])
+        save_checkpoint(args.output, out_params, meta=meta)
+        print(f"saved -> {args.output}")
+
+
+def cmd_latency_model(argv):
+    """Latency predictor: collect / fit / predict
+    (reference latency_model.py:27-92 + get_latency.py:34-152)."""
+    p = argparse.ArgumentParser(prog="latency_model")
+    p.add_argument("action", choices=["collect", "fit", "predict"])
+    p.add_argument("--size", default="tiny")
+    p.add_argument("--n", type=int, default=20, help="configs to sample")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data", default=None, help="csv of encoding,ms")
+    p.add_argument("--predictor", default=None, help="pickled model path")
+    p.add_argument("--encoding", default=None, help='"h_4_d_0.4-..." to predict')
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    import csv
+
+    from .utils.latency_model import (
+        LatencyPredictor,
+        collect_latency_dataset,
+        measure_pruned_deit,
+        sample_random_configs,
+    )
+
+    if args.action == "collect":
+        from .cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        depth = 12
+        max_heads = {"tiny": 3, "small": 6, "base": 12}[args.size]
+        encs = sample_random_configs(args.n, depth, max_heads, seed=args.seed)
+        xs, ys = collect_latency_dataset(
+            encs, measure_pruned_deit(args.size, batch=args.batch))
+        out = args.output or f"latency_{args.size}.csv"
+        with open(out, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["encoding", "ms"])
+            w.writerows(zip(xs, ys))
+        print(f"saved {len(xs)} rows -> {out}")
+    elif args.action == "fit":
+        if not args.data:
+            raise SystemExit("fit needs --data csv")
+        with open(args.data) as f:
+            rows = list(csv.DictReader(f))
+        pred = LatencyPredictor()
+        metrics = pred.fit([r["encoding"] for r in rows],
+                           [float(r["ms"]) for r in rows])
+        out = args.output or "latency_model.pkl"
+        pred.save(out)
+        if metrics:
+            rmse, rmspe, rel, a5, a10, a15 = metrics
+            print(json.dumps({
+                "rmse": rmse, "rmspe_pct": rmspe, "rel_rmse": rel,
+                "acc_5pct": a5, "acc_10pct": a10, "acc_15pct": a15,
+            }))
+        print(f"saved predictor -> {out}")
+    else:  # predict
+        if not (args.predictor and args.encoding):
+            raise SystemExit("predict needs --predictor and --encoding")
+        pred = LatencyPredictor.load(args.predictor)
+        print(f"{pred.predict(args.encoding):.4f} ms")
+
+
+def cmd_experiments(argv):
+    """Fusion/quant/prune experiment generators (reference experiments.py)."""
+    p = argparse.ArgumentParser(prog="experiments")
+    p.add_argument("which",
+                   choices=["fusion_ab", "quant_sweep", "prune_grid", "micro"])
+    p.add_argument("--size", default="tiny")
+    p.add_argument("--dim", type=int, default=192)
+    p.add_argument("--heads", type=int, default=3)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--sizes", type=int, nargs="+", default=[256, 512, 1024, 2048])
+    args = p.parse_args(argv)
+
+    from .bench import experiments as ex
+
+    if args.which == "prune_grid":
+        print("\n".join(ex.prune_benchmark_grid(args.size)))
+        return
+    from .cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.which == "fusion_ab":
+        out = ex.fusion_ab(dim=args.dim, mlp=args.dim * 4,
+                           iters=args.iters, repeats=args.repeats)
+    elif args.which == "quant_sweep":
+        out = ex.quant_op_sweep(sizes=args.sizes, iters=args.iters,
+                                repeats=args.repeats)
+    else:  # micro
+        out = ex.bench_micro_models(dim=args.dim, heads=args.heads,
+                                    batch=args.batch, iters=args.iters,
+                                    repeats=args.repeats)
+    print(json.dumps(out))
 
 
 def cmd_flops(argv):
@@ -296,6 +599,10 @@ COMMANDS = {
     "export": cmd_export,
     "eval": cmd_eval,
     "prune_heads": cmd_prune_heads,
+    "finetune": cmd_finetune,
+    "sparse_train": cmd_sparse_train,
+    "latency_model": cmd_latency_model,
+    "experiments": cmd_experiments,
     "flops": cmd_flops,
 }
 

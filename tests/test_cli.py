@@ -80,6 +80,106 @@ def test_eval_cmd_impl_consistency(tmp_path, capsys):
         assert "top1" in out
 
 
+def _tiny_imagefolder(tmp_path, n_cls=2, n_img=2, size=64):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "val"
+    for c in range(n_cls):
+        d = root / f"cls{c}"
+        d.mkdir(parents=True)
+        for i in range(n_img):
+            Image.fromarray(rng.randint(0, 255, (size, size, 3), np.uint8)).save(
+                d / f"{i}.jpg")
+    return str(root)
+
+
+def test_prune_heads_requires_importance_source():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["prune_heads", "--model", "deit_tiny", "--prune-percent", "30"])
+
+
+def test_prune_heads_real_importance_and_eval(tmp_path, capsys):
+    """No importance file: the CLI must compute real Taylor importance from
+    data (not silently random) and can eval the pruned model."""
+    data = _tiny_imagefolder(tmp_path)
+    assert main([
+        "prune_heads", "--model", "deit_tiny", "--data-dir", data,
+        "--importance-batches", "1", "--batch", "2", "--limit", "2",
+        "--prune-percent", "30", "--eval",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "computed head importance from data" in out
+    assert "heads_per_layer" in out
+    assert "pruned top1" in out
+
+
+def test_finetune_cmd(tmp_path, capsys):
+    out_dir = tmp_path / "ft"
+    assert main([
+        "finetune", "--model", "deit_tiny", "--synthetic", "3", "--batch", "2",
+        "--max-steps", "3", "--optimizer", "sgd", "--output", str(out_dir),
+    ]) == 0
+    assert (out_dir / "meta.json").exists()
+    assert "finetune done" in capsys.readouterr().out
+
+
+def test_sparse_train_cmd(tmp_path, capsys):
+    out_dir = tmp_path / "sparse"
+    assert main([
+        "sparse_train", "--model", "deit_tiny", "--synthetic", "2",
+        "--batch", "2", "--steps", "4", "--warmup-steps", "2",
+        "--preset", "topk-hybrid-struct-layerwise-tiny",
+        "--layerwise-thresholds", "-".join(["h_0.67_d_0.5"] * 12),
+        "--output", str(out_dir),
+    ]) == 0
+    out = capsys.readouterr().out
+    summary = json.loads(out.strip().splitlines()[-2])
+    assert "heads_per_layer" in summary and len(summary["heads_per_layer"]) == 12
+    meta = json.loads((out_dir / "meta.json").read_text())
+    assert meta["preset"] == "topk-hybrid-struct-layerwise-tiny"
+
+
+def test_latency_model_fit_predict_cmd(tmp_path, capsys):
+    """fit/predict on a synthetic csv (collect needs a device worth timing)."""
+    from edgevisiontransformer_tpu.utils.latency_model import (
+        parse_features,
+        sample_random_configs,
+    )
+
+    encs = sample_random_configs(30, depth=12, max_heads=3, seed=1)
+    csv_path = tmp_path / "lat.csv"
+    with open(csv_path, "w") as f:
+        f.write("encoding,ms\n")
+        for e in encs:
+            feats = parse_features(e)
+            ms = 0.01 * sum(feats[0::2]) + 0.02 * sum(feats[1::2])
+            f.write(f"{e},{ms}\n")
+    pkl = tmp_path / "lat.pkl"
+    assert main(["latency_model", "fit", "--data", str(csv_path),
+                 "--output", str(pkl)]) == 0
+    out = capsys.readouterr().out
+    assert "saved predictor" in out
+    assert main(["latency_model", "predict", "--predictor", str(pkl),
+                 "--encoding", encs[0]]) == 0
+    assert "ms" in capsys.readouterr().out
+
+
+def test_experiments_prune_grid_cmd(capsys):
+    assert main(["experiments", "prune_grid", "--size", "tiny"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "all_head3_ffn0.9" in out and "all_head1_ffn1.0" in out
+
+
+def test_experiments_micro_cmd(capsys):
+    assert main(["experiments", "micro", "--dim", "32", "--heads", "2",
+                 "--iters", "3", "--repeats", "1"]) == 0
+    data = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(data) == {"attention", "ffn", "dense_plus_input"}
+
+
 def test_registry_covers_cnn_zoo():
     from edgevisiontransformer_tpu.models.registry import available_models, build_model
 
