@@ -70,14 +70,22 @@ def cmd_benchmark(argv):
     model, in_shape = _build_model(args.model, args.style, args.dtype)
     x = jnp.ones((args.batch,) + in_shape, jnp.dtype(args.dtype))
     params = model.init(jax.random.key(0), x)
+    extra = ()
     if args.kernel_mode == "fused":
-        from .models.vit import fused_vit_apply
+        from .models.swin import SwinTransformer, fused_swin_apply, prepare_swin_fused
 
-        fn = lambda p_, x_: fused_vit_apply(model, p_, x_)
+        if isinstance(model, SwinTransformer):
+            prep = prepare_swin_fused(model, params)
+            fn = lambda p_, pp_, x_: fused_swin_apply(model, p_, x_, prepared=pp_)
+            extra = (prep,)
+        else:
+            from .models.vit import fused_vit_apply
+
+            fn = lambda p_, x_: fused_vit_apply(model, p_, x_)
     else:
         fn = lambda p_, x_: model.apply(p_, x_)
-    r = measure_op_time(fn, (params, x), iters=args.iters, repeats=args.repeats,
-                        chain_arg=1)
+    r = measure_op_time(fn, (params,) + extra + (x,), iters=args.iters,
+                        repeats=args.repeats, chain_arg=-1)
     r["model"] = args.model
     r["batch"] = args.batch
     r["throughput_per_s"] = args.batch / (r["p50_ms"] / 1e3) if r["p50_ms"] else None
@@ -362,6 +370,73 @@ def cmd_prune_heads(argv):
         print(f"saved -> {args.output}")
 
 
+def cmd_prune(argv):
+    """Standalone magnitude pruner (reference deit_pruning/src/pytorch_prune/
+    pruner.py:85-103): hybrid = block on attention + ln_smart on denses."""
+    p = argparse.ArgumentParser(prog="prune")
+    p.add_argument("--model", default="deit_tiny")
+    p.add_argument("--style", default="standard")
+    p.add_argument("--func", default="hybrid",
+                   choices=["hybrid", "block", "ln_smart_structured",
+                            "ln_structured", "l1_unstructured",
+                            "random_unstructured"])
+    p.add_argument("--amount", type=float, default=0.5)
+    p.add_argument("--block-row", type=int, default=None)
+    p.add_argument("--block-col", type=int, default=None)
+    p.add_argument("--dim", type=int, default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    from .pruning import magnitude_pruners as mp
+    from .pruning.movement import sparsity_report
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+
+    model, in_shape = _build_model(args.model, args.style)
+    cfg = model.config
+    params = model.init(jax.random.key(0), jnp.ones((1,) + in_shape))
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint, params)
+
+    if args.func == "hybrid":
+        params = mp.hybrid_prune_params(
+            cfg, params, args.amount, args.block_row, args.block_col)
+    else:
+        mask_fn = {
+            "block": lambda w: mp.block_prune_mask(
+                w, args.amount,
+                args.block_row or cfg.resolved_head_dim,
+                args.block_col or w.shape[1]),
+            "ln_smart_structured": lambda w: mp.ln_smart_structured_mask(
+                w, args.amount),
+            "ln_structured": lambda w: mp.ln_structured_mask(
+                w, args.amount, dim=args.dim if args.dim is not None else 0),
+            "l1_unstructured": lambda w: mp.l1_unstructured_mask(w, args.amount),
+            "random_unstructured": lambda w: mp.random_unstructured_mask(
+                w, args.amount),
+        }[args.func]
+
+        def prune_leaf(path, leaf):
+            # encoder weight matrices only (the reference prunes encoder
+            # Linears; embeddings/heads are left dense)
+            pstr = "/".join(str(getattr(k, "key", k)) for k in path)
+            if leaf.ndim == 2 and "block_" in pstr and "kernel" in pstr:
+                w = np.asarray(leaf).T  # torch [out, in] orientation
+                return jnp.asarray((w * mask_fn(w)).T, leaf.dtype)
+            return leaf
+
+        params = jax.tree_util.tree_map_with_path(prune_leaf, params)
+
+    rep = sparsity_report(params)
+    print(json.dumps({"func": args.func, "amount": args.amount,
+                      "overall_sparsity": rep["__overall__"]}))
+    if args.output:
+        save_checkpoint(args.output, params, meta={
+            "model": args.model, "func": args.func, "amount": args.amount,
+        })
+        print(f"saved -> {args.output}")
+
+
 def cmd_finetune(argv):
     """Retrain/finetune driver (reference classifier_training.py:18-184,
     finetune.py; reachable from tools.py' train recipes)."""
@@ -599,6 +674,7 @@ COMMANDS = {
     "export": cmd_export,
     "eval": cmd_eval,
     "prune_heads": cmd_prune_heads,
+    "prune": cmd_prune,
     "finetune": cmd_finetune,
     "sparse_train": cmd_sparse_train,
     "latency_model": cmd_latency_model,

@@ -71,6 +71,13 @@ class ViTConfig:
     # Kernel selection: "xla" = plain jnp (reference impl), "pallas" = fused.
     kernel_mode: str = "xla"
 
+    # Compiled-transition modes (nn_pruning's Layer2NoNorm / GeLU2ReLU,
+    # vendor nonorm.py:6-139 + gelu2relu.py:7-50): after a transition-schedule
+    # sparse run is compiled, norms collapse to an affine (NoNorm) and GELUs
+    # to ReLU.  "layernorm"/"gelu" are the normal models.
+    norm_mode: str = "layernorm"  # "layernorm" | "nonorm"
+    act: str = "gelu"             # "gelu" | "relu"
+
     @property
     def num_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2

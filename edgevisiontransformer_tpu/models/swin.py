@@ -52,6 +52,12 @@ class SwinConfig:
     # fp32 softmax is the default (parity); bf16 halves the HBM traffic of
     # the [B*nW, heads, 49, 49] attention intermediates for serving
     softmax_fp32: bool = True
+    # Pack p windows per attention matmul with a block-diagonal mask.
+    # Halves MXU tile passes for the 49-token score matmuls, but in the XLA
+    # path the 2x-larger masked softmax costs more than the passes save
+    # (measured b1: 0.55 ms packed vs 0.44 ms unpacked) — default off; the
+    # fused whole-block kernel (fused_swin_apply) is the fast path instead.
+    window_pack: int = 1
 
     def replace(self, **kw) -> "SwinConfig":
         return dataclasses.replace(self, **kw)
@@ -101,15 +107,48 @@ def shifted_window_mask(h: int, ww_: int, w: int, shift: int) -> np.ndarray:
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
 
+_PACK_NEG = -1e9  # additive mask for cross-window logits in packed attention
+
+
+def pack_window_bias(bias_hnn: jax.Array, p: int) -> jax.Array:
+    """[h, n, n] relative-position bias -> block-diagonal [h, p*n, p*n] with
+    cross-window positions masked to _PACK_NEG."""
+    h, n, _ = bias_hnn.shape
+    eye = jnp.asarray(np.eye(p, dtype=bool))[None, :, :, None, None]  # [1,p,p,1,1]
+    exp = bias_hnn[:, None, None, :, :]  # [h, 1, 1, n, n]
+    out = jnp.where(eye, exp, jnp.asarray(_PACK_NEG, bias_hnn.dtype))
+    # [h, i, j, a, b] -> [h, i, a, j, b] -> [h, p*n, p*n]
+    return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(h, p * n, p * n)
+
+
+def pack_window_mask(mask: jax.Array, p: int) -> jax.Array:
+    """[nW, n, n] shifted-window mask -> [nW/p, p*n, p*n] block diagonal.
+    Off-diagonal blocks get _PACK_NEG (subsumed by the bias mask but kept so
+    either alone is sufficient)."""
+    nW, n, _ = mask.shape
+    m = mask.reshape(nW // p, p, n, n)
+    eye = jnp.asarray(np.eye(p, dtype=bool))[None, :, :, None, None]
+    exp = m[:, :, None, :, :]  # [g, i, 1, n, n] broadcast over j
+    out = jnp.where(eye, exp, jnp.asarray(_PACK_NEG, mask.dtype))
+    return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(nW // p, p * n, p * n)
+
+
 class WindowAttention(nn.Module):
-    """W-MSA / SW-MSA with relative position bias."""
+    """W-MSA / SW-MSA with relative position bias.
+
+    With cfg.window_pack = p > 1, groups of p consecutive windows run as one
+    (p*n)-token attention with a block-diagonal additive mask: same numerics
+    (cross-window logits underflow to exactly 0 after softmax), ~p x better
+    MXU tile utilization for the n=49 score/PV matmuls.
+    """
 
     config: SwinConfig
     dim: int
     heads: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array | None) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: jax.Array | None,
+                 n_windows: int = 0) -> jax.Array:
         cfg = self.config
         w = cfg.window_size
         n = w * w
@@ -142,17 +181,30 @@ class WindowAttention(nn.Module):
                 qkv, bias_hnn.astype(cfg.dtype), mask, self.heads, head_dim
             )
         else:
-            qkv = qkv.reshape(bw, n, 3, self.heads, head_dim)
+            # Effective packing: consecutive windows share an image iff
+            # n_windows % p == 0, so the per-window shifted masks line up;
+            # for the last stage (n_windows == 1, never shifted) packing
+            # across the batch is equally valid.
+            p = cfg.window_pack
+            if p > 1 and bw % p == 0 and (n_windows % p == 0 or n_windows <= 1):
+                pack = p
+            else:
+                pack = 1
+            pn = pack * n
+
+            qkv = qkv.reshape(bw // pack, pn, 3, self.heads, head_dim)
             qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
             q, k, v = qkv[0], qkv[1], qkv[2]
 
+            bias_p = pack_window_bias(bias_hnn, pack) if pack > 1 else bias_hnn
             attn = jnp.einsum("bhid,bhjd->bhij", q * scale, k)
-            attn = attn + bias_hnn[None].astype(attn.dtype)
+            attn = attn + bias_p[None].astype(attn.dtype)
             if mask is not None:
-                nW = mask.shape[0]
-                attn = attn.reshape(bw // nW, nW, self.heads, n, n)
-                attn = attn + mask[None, :, None].astype(attn.dtype)
-                attn = attn.reshape(bw, self.heads, n, n)
+                mask_p = pack_window_mask(mask, pack) if pack > 1 else mask
+                nG = mask_p.shape[0]
+                attn = attn.reshape(bw // pack // nG, nG, self.heads, pn, pn)
+                attn = attn + mask_p[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(bw // pack, self.heads, pn, pn)
             if cfg.softmax_fp32:
                 attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
             else:
@@ -195,7 +247,9 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         windows = window_partition(xn, w)
-        attn = WindowAttention(cfg, self.dim, self.heads, name="attn")(windows, mask)
+        n_windows = (h // w) * (ww_ // w)
+        attn = WindowAttention(cfg, self.dim, self.heads, name="attn")(
+            windows, mask, n_windows)
         xn = window_reverse(attn, w, h, ww_)
         if shift > 0:
             xn = jnp.roll(xn, (shift, shift), axis=(1, 2))
@@ -283,6 +337,179 @@ class SwinTransformer(nn.Module):
         x = jnp.mean(x, axis=1)  # global average pool
         return nn.Dense(cfg.num_classes, dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype, name="head")(x)
+
+
+def _merge_perm(c: int) -> np.ndarray:
+    """Feature permutation mapping the transpose-form merge order (dy, dx, c)
+    onto the reference concat order [x0;x1;x2;x3] = [(0,0);(1,0);(0,1);(1,1)]
+    so permuted params make both forms bit-equivalent."""
+    k_of = {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}
+    perm = np.empty(4 * c, np.int32)
+    for dy in range(2):
+        for dx in range(2):
+            for ci in range(c):
+                perm[dy * 2 * c + dx * c + ci] = k_of[(dy, dx)] * c + ci
+    return perm
+
+
+def prepare_swin_fused(model: "SwinTransformer", variables) -> dict:
+    """Precompute the inference-constant pieces of the fused forward:
+
+    * each block's relative-position bias, gathered from its (2w-1)^2 table
+      and kernel-ready padded (the gather costs 7-28 us per block on TPU and
+      cannot fuse into a pallas call);
+    * patch-merging params permuted for the transpose-form downsample
+      (18 us vs 37 us for the reference's 4-strided-slice form).
+
+    Pure functions of the params — hoist out of the forward and pass to
+    ``fused_swin_apply(..., prepared=...)``."""
+    from ..ops.pallas.common import round_up
+    from ..ops.pallas.swin_block import _padded_bias
+
+    cfg = model.config
+    p = variables["params"]
+    res = cfg.image_size // cfg.patch_size
+    out = {}
+    for si, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+        w = min(cfg.window_size, res)
+        rpi = relative_position_index(w).reshape(-1)
+        for bi in range(depth):
+            table = p[f"stage_{si}_block_{bi}"]["attn"][
+                "relative_position_bias_table"]
+            bias = jnp.transpose(
+                table[rpi].reshape(w * w, w * w, heads), (2, 0, 1))
+            # kernel-ready: padded, fp32, pre-scaled by log2(e)
+            out[f"{si}_{bi}"] = _padded_bias(bias, w * w, round_up(w * w, 8))
+        res = max(res // 2, w)
+
+    dim = cfg.embed_dim
+    for si in range(len(cfg.depths) - 1):
+        ds = p[f"downsample_{si}"]
+        perm = _merge_perm(dim)
+        out[f"merge_{si}"] = {
+            "norm_scale": ds["norm_scale"][perm],
+            "norm_bias": ds["norm_bias"][perm],
+            "kernel": ds["reduction"]["kernel"][perm, :],
+        }
+        dim *= 2
+    return out
+
+
+# Back-compat alias (round-2 intermediate name).
+prepare_swin_biases = prepare_swin_fused
+
+
+def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
+                     pallas_stages: tuple = (0, 1, 2, 3),
+                     prepared: dict | None = None) -> jax.Array:
+    """Forward pass with every Swin block as ONE whole-block Pallas kernel
+    (ops/pallas/swin_block.py).  Same params as ``model.apply``.
+
+    LayerNorm/MLP/residual are per-token, so each block commutes with the
+    window permutation P (cyclic roll + partition):
+    x' = P^-1( fused_block_window_major( P(x) ) ) — only the cheap P bracket
+    (measured 1-3 us each) stays in XLA.
+    """
+    from ..ops.layers import patch_embed
+    from ..ops.pallas.swin_block import swin_block_forward
+
+    cfg = model.config
+    dt = cfg.dtype
+    p = variables["params"]
+    cast = lambda a: a.astype(dt)
+
+    x = patch_embed(img.astype(dt), cast(p["patch_kernel"]),
+                    cast(p["patch_bias"]), cfg.patch_size)
+    x = layer_norm(x, p["embed_norm_scale"], p["embed_norm_bias"],
+                   cfg.layernorm_eps)
+
+    res = cfg.image_size // cfg.patch_size
+    dim = cfg.embed_dim
+    b = x.shape[0]
+    for si, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+        w = min(cfg.window_size, res)
+        rpi = relative_position_index(w).reshape(-1)
+        for bi in range(depth):
+            blk = p[f"stage_{si}_block_{bi}"]
+            shift = (cfg.window_size // 2) if (bi % 2 == 1 and w < res) else 0
+
+            if si not in pallas_stages:
+                x, _ = SwinBlock(
+                    cfg, dim, heads, res,
+                    shift=0 if bi % 2 == 0 else cfg.window_size // 2,
+                ).apply({"params": blk}, x, mutable=["constants"])
+                continue
+
+            if prepared is not None:
+                bias_hnn = prepared[f"{si}_{bi}"]  # kernel-ready padded fp32
+            else:
+                table = blk["attn"]["relative_position_bias_table"]
+                bias_hnn = jnp.transpose(
+                    table[rpi].reshape(w * w, w * w, heads), (2, 0, 1))
+            mask = (jnp.asarray(shifted_window_mask(res, res, w, shift))
+                    if shift > 0 else None)
+
+            qkv = blk["attn"]["qkv"]
+            bparams = {
+                "ln1_g": blk["ln1_scale"], "ln1_b": blk["ln1_bias"],
+                "qkv_w": cast(qkv["kernel"]),
+                "qkv_b": cast(qkv["bias"]) if "bias" in qkv
+                else jnp.zeros((3 * dim,), dt),
+                "proj_w": cast(blk["attn"]["proj"]["kernel"]),
+                "proj_b": cast(blk["attn"]["proj"]["bias"]),
+                "ln2_g": blk["ln2_scale"], "ln2_b": blk["ln2_bias"],
+                "fc1_w": cast(blk["mlp_fc1_kernel"]),
+                "fc1_b": cast(blk["mlp_fc1_bias"]),
+                "fc2_w": cast(blk["mlp_fc2_kernel"]),
+                "fc2_b": cast(blk["mlp_fc2_bias"]),
+            }
+
+            xs = x.reshape(b, res, res, dim)
+            if shift > 0:
+                xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+            pw = window_partition(xs, w)
+            out = swin_block_forward(
+                pw, bparams,
+                bias_hnn if prepared is not None else bias_hnn.astype(dt),
+                mask,
+                heads=heads, head_dim=dim // heads,
+                eps=cfg.layernorm_eps, approx_gelu=cfg.gelu_approx,
+                bias_prepadded=prepared is not None,
+            )
+            xs = window_reverse(out, w, res, res)
+            if shift > 0:
+                xs = jnp.roll(xs, (shift, shift), axis=(1, 2))
+            x = xs.reshape(b, res * res, dim)
+
+        if si < len(cfg.depths) - 1:
+            if prepared is not None:
+                # transpose-form merge (features ordered (dy, dx, c)) with
+                # permuted params — bit-equivalent, 2x faster than the
+                # 4-strided-slice form on TPU (18 us vs 37 us at stage 0)
+                mp_ = prepared[f"merge_{si}"]
+                xs = x.reshape(b, res // 2, 2, res // 2, 2, dim)
+                xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5))
+                xs = xs.reshape(b, (res // 2) ** 2, 4 * dim)
+                xs = layer_norm(xs, mp_["norm_scale"], mp_["norm_bias"],
+                                cfg.layernorm_eps)
+                x = xs @ cast(mp_["kernel"])
+            else:
+                ds = p[f"downsample_{si}"]
+                xs = x.reshape(b, res, res, dim)
+                x0, x1 = xs[:, 0::2, 0::2], xs[:, 1::2, 0::2]
+                x2, x3 = xs[:, 0::2, 1::2], xs[:, 1::2, 1::2]
+                xs = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+                xs = xs.reshape(b, (res // 2) ** 2, 4 * dim)
+                xs = layer_norm(xs, ds["norm_scale"], ds["norm_bias"],
+                                cfg.layernorm_eps)
+                x = xs @ cast(ds["reduction"]["kernel"])
+            dim *= 2
+            res //= 2
+
+    x = layer_norm(x, p["final_norm_scale"], p["final_norm_bias"],
+                   cfg.layernorm_eps)
+    x = jnp.mean(x, axis=1)
+    return (x @ cast(p["head"]["kernel"]) + cast(p["head"]["bias"]))
 
 
 _SWIN_SHAPES = {

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import REFERENCE_STYLE, STANDARD_STYLE, ViTConfig, decode_prune_encoding
-from ..ops.activations import get_gelu
+from ..ops.activations import get_act, get_gelu
 from ..ops.attention import attention_xla
 from ..ops.layers import layer_norm, mlp_block, patch_embed
 
@@ -94,9 +94,9 @@ class FeedForward(nn.Module):
         )
         b2 = self.param("fc2_bias", nn.initializers.zeros_init(), (dim,), cfg.param_dtype)
 
-        act = get_gelu(cfg.gelu_approx)
+        act = get_act(cfg)
         x = x.astype(cfg.dtype)
-        if cfg.kernel_mode == "pallas":
+        if cfg.kernel_mode == "pallas" and cfg.act != "relu":
             from ..ops.pallas import fused_mlp
 
             return fused_mlp.mlp(
@@ -118,7 +118,12 @@ class FeedForward(nn.Module):
 
 
 class LayerNormP(nn.Module):
-    """Parameterized LayerNorm over last axis."""
+    """Parameterized LayerNorm over last axis.
+
+    With cfg.norm_mode == "nonorm" the same params act as a plain affine —
+    the compiled endpoint of the Layer2NoNorm transition (vendor
+    nonorm.py:92-103 compile(): running stats folded into scale/bias).
+    """
 
     config: ViTConfig
 
@@ -127,6 +132,8 @@ class LayerNormP(nn.Module):
         cfg = self.config
         gamma = self.param("scale", nn.initializers.ones_init(), (x.shape[-1],), cfg.param_dtype)
         beta = self.param("bias", nn.initializers.zeros_init(), (x.shape[-1],), cfg.param_dtype)
+        if cfg.norm_mode == "nonorm":
+            return x * gamma + beta
         return layer_norm(x, gamma, beta, cfg.layernorm_eps)
 
 

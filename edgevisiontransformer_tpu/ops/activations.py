@@ -22,3 +22,11 @@ def gelu_exact(x: jax.Array) -> jax.Array:
 
 def get_gelu(approx: bool):
     return gelu_tanh if approx else gelu_exact
+
+
+def get_act(cfg) -> "callable":
+    """Config-selected MLP activation: ReLU for GeLU2ReLU-compiled models
+    (vendor gelu2relu.py:40-41 mix=0 endpoint), else the configured GELU."""
+    if getattr(cfg, "act", "gelu") == "relu":
+        return jax.nn.relu
+    return get_gelu(cfg.gelu_approx)

@@ -1,0 +1,241 @@
+"""Whole-SwinBlock fused Pallas kernel.
+
+The Swin batch-1 forward is relayout/VPU-bound, not FLOP-bound: profiling
+(round 2, v5e) showed a stage-0 block at 56 us in XLA, of which ~12 us is the
+[nW, n, 3, H, hd] -> [3, nW, H, n, hd] qkv transpose relayout plus fusion
+boundaries; the window partition / cyclic roll cost only 1-3 us each.
+
+This kernel runs the ENTIRE block — LN1 -> fused-qkv -> per-window
+relative-position-bias attention (+ shifted mask) -> proj -> residual -> LN2
+-> GELU-MLP -> residual — as one pallas_call on *window-major* data
+[B*nW, n, C].  Because LayerNorm/MLP/residual are per-token, the block
+commutes with the window permutation P (roll + partition):
+x' = P^-1(block_wm(P(x))) — only the cheap XLA P bracket stays outside
+(models/swin.py fused_swin_apply).
+
+Measured design decisions (v5e, stage-0 shapes):
+* Per-head *batched* dot_general over [nW, n_pad, hd] — one MXU op per head
+  — beats both an unrolled per-(window, head) loop (~0.17 us issue overhead
+  each) and block-diagonal window packing (whose padded softmax doubles VPU
+  traffic): qkv+sdpa 11.1 us vs 24 us unrolled, vs 15.2 us packed.
+* exp2 with the log2(e) factor folded into the score scale and the bias
+  pre-scaled (one VPU mul saved per element).
+* Softmax normalization DEFERRED past the PV matmul: the divide shrinks from
+  [n_pad, n_pad] to [n_pad, hd] and becomes an approximate-reciprocal mul.
+* fp32 scores (bf16 softmax measured slower: conversion churn).
+
+Capability parity: the reference has no Swin kernels at all (SURVEY.md §1 —
+Swin is analytic-only there, flops_calculation.py:313-386); this replaces its
+phone-side TFLite execution of window attention (analyse.py:14-18).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import round_up, use_interpret
+from .mathlib import gelu_kernel
+
+_NEG = -1e30
+_LOG2E = 1.4426950408889634
+
+
+def _ln(x, g, b, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32) + b.astype(
+        jnp.float32
+    )
+
+
+def _swin_block_kernel(
+    x_ref,
+    ln1_g, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
+    ln2_g, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b,
+    bias_ref,        # [heads, n_pad, n_pad] fp32 rel-pos bias (pre-scaled by log2e)
+    mask_ref,        # [gm, n_pad, n_pad] fp32 per-window shifted mask (log2e-scaled)
+    o_ref,
+    *,
+    gm: int,          # windows per program
+    n_pad: int,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    scale: float,     # head_dim**-0.5 * log2(e)
+    approx_gelu: bool,
+    use_mask: bool,
+):
+    x = x_ref[:]  # [gm*n_pad, C]
+    dtype = x.dtype
+    hd = head_dim
+    pn = n_pad
+
+    # ---- attention sublayer ----
+    h = _ln(x, ln1_g[0], ln1_b[0], eps).astype(dtype)
+    qkv = (
+        jax.lax.dot(h, qkv_w[:], preferred_element_type=jnp.float32)
+        .astype(dtype)
+        + qkv_b[0]
+    )  # [gm*pn, 3*H*hd], fused axis ordered (qkv, head, hd)
+
+    outs = []
+    for i in range(heads):
+        q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd].reshape(gm, pn, hd)
+        k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd].reshape(gm, pn, hd)
+        v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd].reshape(gm, pn, hd)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias_ref[i][None]
+        if use_mask:
+            s = s + mask_ref[:]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        r = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o = o * pl.reciprocal(r, approx=True)
+        outs.append(o.astype(dtype).reshape(gm * pn, hd))
+    att = jnp.concatenate(outs, axis=-1)
+
+    attn_out = (
+        jax.lax.dot(att, proj_w[:], preferred_element_type=jnp.float32)
+        + proj_b[0].astype(jnp.float32)
+    )
+    x = (attn_out + x.astype(jnp.float32)).astype(dtype)
+
+    # ---- MLP sublayer ----
+    h2 = _ln(x, ln2_g[0], ln2_b[0], eps).astype(dtype)
+    hid = (
+        jax.lax.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
+        .astype(dtype)
+        + fc1_b[0]
+    )
+    hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+    mlp_out = (
+        jax.lax.dot(hid, fc2_w[:], preferred_element_type=jnp.float32)
+        + fc2_b[0].astype(jnp.float32)
+    )
+    o_ref[:] = (mlp_out + x.astype(jnp.float32)).astype(dtype)
+
+
+def _padded_bias(bias_hnn: jax.Array, n: int, n_pad: int) -> jax.Array:
+    """[H, n, n] -> fp32 [H, n_pad, n_pad], padding cols masked, pre-scaled
+    by log2(e) so the kernel's exp2 softmax needs no extra multiply."""
+    h = bias_hnn.shape[0]
+    bias = jnp.full((h, n_pad, n_pad), _NEG, jnp.float32)
+    bias = bias.at[:, :, :n].set(0.0)
+    bias = bias.at[:, :n, :n].set(bias_hnn.astype(jnp.float32) * _LOG2E)
+    return bias
+
+
+def swin_block_forward(
+    xw: jax.Array,            # [B*nW, n, C] window-major tokens (pre-LN)
+    params: dict,             # ln1_g ln1_b qkv_w qkv_b proj_w proj_b ln2_g
+                              # ln2_b fc1_w fc1_b fc2_w fc2_b (plain arrays)
+    bias_hnn: jax.Array,      # [H, n, n] relative position bias
+    mask: jax.Array | None,   # [nW, n, n] shifted-window mask or None
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    approx_gelu: bool = False,
+    windows_per_program: int | None = None,
+    bias_prepadded: bool = False,
+) -> jax.Array:
+    """One full Swin block on window-major data.  Returns [B*nW, n, C].
+
+    ``bias_prepadded``: bias_hnn is already the kernel-ready fp32
+    [H, n_pad, n_pad] (see models/swin.py prepare_swin_biases) — skips the
+    per-call gather/pad ops that otherwise cost 7-28 us on TPU.
+    """
+    bw, n, c = xw.shape
+    n_pad = round_up(n, 8)
+
+    if windows_per_program is None:
+        # bound the per-program fp32 score buffer (~[gm, n_pad, n_pad])
+        windows_per_program = max(1, (2 * 1024 * 1024) // (n_pad * n_pad * 4))
+    gm = max(1, min(windows_per_program, bw))
+    while bw % gm != 0:
+        gm -= 1
+
+    xp = jnp.pad(xw, ((0, 0), (0, n_pad - n), (0, 0))).reshape(bw * n_pad, c)
+
+    bias = bias_hnn if bias_prepadded else _padded_bias(bias_hnn, n, n_pad)
+    use_mask = mask is not None
+    if use_mask:
+        nW = mask.shape[0]
+        mp = jnp.zeros((nW, n_pad, n_pad), jnp.float32)
+        mp = mp.at[:, :n, :n].set(mask.astype(jnp.float32) * _LOG2E)
+        mask_g = jnp.tile(mp, (bw // nW, 1, 1))
+    else:
+        mask_g = jnp.zeros((bw, 1, 1), jnp.float32)  # placeholder, unread
+
+    def vec(a):  # [d] -> [1, d] so VMEM blocks are 2D
+        return a.reshape(1, -1)
+
+    kernel = functools.partial(
+        _swin_block_kernel,
+        gm=gm, n_pad=n_pad, heads=heads, head_dim=head_dim,
+        eps=eps, scale=head_dim**-0.5 * _LOG2E, approx_gelu=approx_gelu,
+        use_mask=use_mask,
+    )
+
+    hidden = params["fc1_w"].shape[1]
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    mask_dims = (n_pad, n_pad) if use_mask else (1, 1)
+    flops = 2 * bw * n_pad * (
+        c * 3 * c + 2 * n_pad * head_dim * heads + c * c + 2 * c * hidden
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bw // gm,),
+        in_specs=[
+            pl.BlockSpec((gm * n_pad, c), lambda gi: (gi, 0),
+                         memory_space=pltpu.VMEM),
+            full(), full(),   # ln1
+            full(), full(),   # qkv w/b
+            full(), full(),   # proj w/b
+            full(), full(),   # ln2
+            full(), full(),   # fc1 w/b
+            full(), full(),   # fc2 w/b
+            full(),           # bias
+            pl.BlockSpec((gm,) + mask_dims, lambda gi: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gm * n_pad, c), lambda gi: (gi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw * n_pad, c), xw.dtype),
+        interpret=use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                (bw * n_pad * c * 2 + c * 3 * c + c * c + 2 * c * hidden)
+                * xw.dtype.itemsize
+            ),
+            transcendentals=bw * n_pad * (n_pad * heads + hidden),
+        ),
+    )(
+        xp,
+        vec(params["ln1_g"]), vec(params["ln1_b"]),
+        params["qkv_w"], vec(params["qkv_b"]),
+        params["proj_w"], vec(params["proj_b"]),
+        vec(params["ln2_g"]), vec(params["ln2_b"]),
+        params["fc1_w"], vec(params["fc1_b"]),
+        params["fc2_w"], vec(params["fc2_b"]),
+        bias,
+        mask_g,
+    )
+    return out.reshape(bw, n_pad, c)[:, :n, :]

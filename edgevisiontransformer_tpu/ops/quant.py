@@ -54,6 +54,39 @@ def dequantize_weight_int8(q: jax.Array, scale: jax.Array, dtype=jnp.float32):
     return q.astype(dtype) * scale[None, :].astype(dtype)
 
 
+def _fake_quant_impl(w: jax.Array) -> jax.Array:
+    q, scale = quantize_weight_int8(w)
+    return dequantize_weight_int8(q, scale, w.dtype)
+
+
+@jax.custom_vjp
+def fake_quant_ste(w: jax.Array) -> jax.Array:
+    """Quantize-aware-training fake quant: per-output-channel symmetric int8
+    round-trip with a straight-through gradient (the TPU-native analogue of
+    the vendored FX QAT, nn_pruning/modules/quantization.py — fake-quant
+    observers replaced by the deployment quantizer itself)."""
+    return _fake_quant_impl(w)
+
+
+def _fq_fwd(w):
+    return _fake_quant_impl(w), None
+
+
+def _fq_bwd(_, g):
+    return (g,)
+
+
+fake_quant_ste.defvjp(_fq_fwd, _fq_bwd)
+
+
+def fake_quant_tree(params, min_ndim: int = 2):
+    """Fake-quantize every >=2D weight in a pytree (QAT training forward)."""
+    return jax.tree.map(
+        lambda l: fake_quant_ste(l) if getattr(l, "ndim", 0) >= min_ndim else l,
+        params,
+    )
+
+
 def quantize_activation_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-row dynamic activation quant: x [m, k] -> (q int8, scale [m, 1])."""
     absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)

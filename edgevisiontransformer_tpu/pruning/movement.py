@@ -67,6 +67,15 @@ class SparseConfig:
     distil_temperature: float = 2.0
     mask_init_scale: float = 0.0  # scores init (0 = uniform start like reference)
     layerwise_thresholds: Optional[str] = None  # "h_0.5_d_0.3-..." DSL
+    # Transition patches (patch_coordinator.py:198-230 -> pruning/transitions.py)
+    layer_norm_patch: bool = False
+    layer_norm_patch_steps: int = 50000
+    layer_norm_patch_start_delta: float = 0.99
+    gelu_patch: bool = False
+    gelu_patch_steps: int = 50000
+    # Quantization-aware training (vendor modules/quantization.py analogue)
+    qat: bool = False
+    qat_bits: int = 8
 
 
 def parse_layerwise_thresholds(s: str, depth: int) -> List[Tuple[float, float]]:

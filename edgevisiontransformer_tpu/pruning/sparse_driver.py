@@ -79,6 +79,13 @@ def sparse_config_from_preset(
         dense_block_rows=d.get("dense_block_rows", 1),
         dense_block_cols=d.get("dense_block_cols", 1),
         layerwise_thresholds=layerwise_thresholds,
+        # transition + QAT knobs (SparseTrainingArguments names preserved)
+        layer_norm_patch=bool(d.get("layer_norm_patch", False)),
+        layer_norm_patch_steps=d.get("layer_norm_patch_steps", 50000),
+        layer_norm_patch_start_delta=d.get("layer_norm_patch_start_delta", 0.99),
+        gelu_patch=bool(d.get("gelu_patch", False)),
+        gelu_patch_steps=d.get("gelu_patch_steps", 50000),
+        qat=bool(d.get("qat", False)),
     )
     kw.update(overrides)
     return SparseConfig(**kw)
@@ -92,6 +99,7 @@ class SparseRunResult:
     compiled_params: Optional[dict] = None
     report: Optional[dict] = None
     sparsity: Optional[dict] = None
+    ln_acc: Optional[dict] = None  # Layer2NoNorm accumulators (if patched)
 
 
 def run_sparse_finetune(
@@ -113,8 +121,23 @@ def run_sparse_finetune(
     scores = init_mask_scores(cfg, sparse, jax.random.key(seed))
     opt_p = optax.adamw(lr)
     opt_s = optax.adam(mask_lr)  # mask-lr group (patch_coordinator.py:669-704)
-    step_fn = jax.jit(make_sparse_train_step(
-        model_apply, cfg, sparse, opt_p, opt_s, teacher_apply))
+
+    transitions = sparse.layer_norm_patch or sparse.gelu_patch
+    ln_acc = None
+    if transitions:
+        from .sparse_train import make_sparse_train_step_transitions
+        from .transitions import (
+            init_ln_accumulators,
+            transition_delta,
+            transition_mix,
+        )
+
+        ln_acc = init_ln_accumulators(cfg)
+        step_fn = jax.jit(make_sparse_train_step_transitions(
+            cfg, sparse, opt_p, opt_s, teacher_apply))
+    else:
+        step_fn = jax.jit(make_sparse_train_step(
+            model_apply, cfg, sparse, opt_p, opt_s, teacher_apply))
 
     st_p = opt_p.init(params)
     st_s = opt_s.init(scores)
@@ -122,11 +145,24 @@ def run_sparse_finetune(
     while step < total_steps:
         for images, labels in batches():
             thr, regu_mul = schedule_thresholds(step, total_steps, cfg, sparse)
-            params, scores, st_p, st_s, metrics = step_fn(
-                params, scores, st_p, st_s,
-                jnp.asarray(images), jnp.asarray(labels),
-                jnp.asarray(thr), jnp.asarray(regu_mul),
-            )
+            if transitions:
+                tmix = jnp.asarray([
+                    transition_mix(step, sparse.layer_norm_patch_steps),
+                    transition_delta(step, sparse.layer_norm_patch_steps,
+                                     sparse.layer_norm_patch_start_delta),
+                    transition_mix(step, sparse.gelu_patch_steps),
+                ])
+                params, scores, ln_acc, st_p, st_s, metrics = step_fn(
+                    params, scores, ln_acc, st_p, st_s,
+                    jnp.asarray(images), jnp.asarray(labels),
+                    jnp.asarray(thr), jnp.asarray(regu_mul), tmix,
+                )
+            else:
+                params, scores, st_p, st_s, metrics = step_fn(
+                    params, scores, st_p, st_s,
+                    jnp.asarray(images), jnp.asarray(labels),
+                    jnp.asarray(thr), jnp.asarray(regu_mul),
+                )
             step += 1
             if step % 10 == 0:
                 log(f"step {step}/{total_steps} loss {float(metrics['loss']):.4f} "
@@ -134,9 +170,20 @@ def run_sparse_finetune(
             if step >= total_steps:
                 break
 
-    result = SparseRunResult(params=params, mask_scores=scores)
+    result = SparseRunResult(params=params, mask_scores=scores, ln_acc=ln_acc)
+    compile_cfg, compile_params = cfg, params
+    if transitions and do_compile:
+        # Bake transitions to their endpoints BEFORE the structural shrink:
+        # LN params absorb the running stats (NoNorm), act becomes ReLU.
+        from .transitions import compile_transitions
+
+        compile_cfg, compile_params = compile_transitions(
+            cfg, params, ln_acc,
+            ln_patch=sparse.layer_norm_patch, gelu_patch=sparse.gelu_patch,
+        )
     if do_compile:
-        new_cfg, new_params, report = compile_sparse_model(cfg, params, scores, sparse)
+        new_cfg, new_params, report = compile_sparse_model(
+            compile_cfg, compile_params, scores, sparse)
         result.compiled_cfg = new_cfg
         result.compiled_params = new_params
         result.report = report

@@ -65,6 +65,10 @@ def make_sparse_train_step(
     def loss_fn(params, scores, images, labels, thresholds, regu_mul):
         thr_list = [(thresholds[i, 0], thresholds[i, 1]) for i in range(cfg.depth)]
         masked = apply_masks(cfg, params, scores, thr_list, sparse)
+        if sparse.qat:
+            from ..ops.quant import fake_quant_tree
+
+            masked = fake_quant_tree(masked)
         logits = apply_fn(masked, images)
         ce = cross_entropy(logits, labels)
         loss = ce
@@ -85,5 +89,61 @@ def make_sparse_train_step(
         us, opt_s = opt_scores.update(gs, opt_s, scores)
         scores = optax.apply_updates(scores, us)
         return params, scores, opt_p, opt_s, metrics
+
+    return step
+
+
+def make_sparse_train_step_transitions(
+    cfg: ViTConfig,
+    sparse: SparseConfig,
+    opt_params: optax.GradientTransformation,
+    opt_scores: optax.GradientTransformation,
+    teacher_apply: Optional[Callable] = None,
+):
+    """Sparse step with LayerNorm->NoNorm / GeLU->ReLU transitions active
+    (preset layer_norm_patch / gelu_patch; pruning/transitions.py).
+
+    step(params, scores, ln_acc, opt_p, opt_s, images, labels,
+         thresholds[depth,2], regu_mul, tmix[3]=(mix_ln, delta, mix_gelu))
+    -> (params, scores, ln_acc, opt_p, opt_s, metrics).
+
+    The forward is the transition-aware functional ViT (not apply_fn) so the
+    accumulators thread through the jit step without module state.
+    """
+    from .transitions import vit_forward_transitions
+
+    def loss_fn(params, scores, ln_acc, images, labels, thresholds, regu_mul, tmix):
+        thr_list = [(thresholds[i, 0], thresholds[i, 1]) for i in range(cfg.depth)]
+        masked = apply_masks(cfg, params, scores, thr_list, sparse)
+        if sparse.qat:
+            from ..ops.quant import fake_quant_tree
+
+            masked = fake_quant_tree(masked)
+        logits, new_acc = vit_forward_transitions(
+            cfg, masked, images, ln_acc, tmix[0], tmix[1], tmix[2],
+            ln_patch=sparse.layer_norm_patch, gelu_patch=sparse.gelu_patch,
+            train=True,
+        )
+        new_acc = jax.lax.stop_gradient(new_acc)
+        ce = cross_entropy(logits, labels)
+        loss = ce
+        if teacher_apply is not None:
+            t_logits = jax.lax.stop_gradient(teacher_apply(images))
+            loss = distillation_loss(
+                logits, t_logits, ce, sparse.distil_alpha, sparse.distil_temperature
+            )
+        regu = regularization_loss(scores, sparse, regu_mul)
+        return loss + regu, ({"ce": ce, "loss": loss, "regu": regu}, new_acc)
+
+    def step(params, scores, ln_acc, opt_p, opt_s, images, labels,
+             thresholds, regu_mul, tmix):
+        (_, (metrics, new_acc)), (gp, gs) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, scores, ln_acc, images, labels, thresholds, regu_mul, tmix)
+        up, opt_p = opt_params.update(gp, opt_p, params)
+        params = optax.apply_updates(params, up)
+        us, opt_s = opt_scores.update(gs, opt_s, scores)
+        scores = optax.apply_updates(scores, us)
+        return params, scores, new_acc, opt_p, opt_s, metrics
 
     return step

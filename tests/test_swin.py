@@ -108,3 +108,46 @@ def test_swin_pallas_window_attention_matches_xla():
     got = SwinTransformer(cfg.replace(kernel_mode="pallas")).apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_window_pack_parity():
+    """window_pack=2 (block-diagonal packed attention) must be numerically
+    equivalent to unpacked — cross-window logits underflow to exactly 0."""
+    cfg1 = swin_config("tiny", image_size=56, embed_dim=32, depths=(2, 2),
+                       num_heads=(2, 4), window_pack=1)
+    cfg2 = cfg1.replace(window_pack=2)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 56, 56))
+    m1, m2 = SwinTransformer(cfg1), SwinTransformer(cfg2)
+    v = m1.init(jax.random.key(1), x)
+    y1 = m1.apply(v, x)
+    y2 = m2.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_swin_apply_parity():
+    """Whole-block Pallas path (interpret mode off-TPU) vs module forward,
+    with and without the prepared-constants fast path."""
+    from edgevisiontransformer_tpu.models.swin import (
+        fused_swin_apply,
+        prepare_swin_fused,
+    )
+
+    cfg = swin_config("tiny", image_size=56, embed_dim=32, depths=(2, 2),
+                      num_heads=(2, 4), window_pack=1)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
+    v = m.init(jax.random.key(1), x)
+    y_ref = m.apply(v, x)
+    # exp2 softmax + deferred approx-reciprocal normalization: ~1e-3 abs
+    y_fused = fused_swin_apply(m, v, x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused),
+                               rtol=2e-3, atol=2e-3)
+    prep = prepare_swin_fused(m, v)
+    y_prep = fused_swin_apply(m, v, x, prepared=prep)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_prep),
+                               rtol=2e-3, atol=2e-3)
+    # XLA fallback stages must also agree
+    y_mixed = fused_swin_apply(m, v, x, pallas_stages=(1,), prepared=prep)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_mixed),
+                               rtol=2e-3, atol=2e-3)
