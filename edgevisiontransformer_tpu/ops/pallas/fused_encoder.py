@@ -83,6 +83,9 @@ def _encoder_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
     key_mask = col < seq_len
 
+    # exp2 softmax with log2(e) folded into the score scale, normalization
+    # deferred past PV (divide on [n_pad, hd] instead of [n_pad, n_pad]) —
+    # same VPU-wall optimizations as ops/pallas/swin_block.py.
     hd = head_dim
     att_rows = []
     for j in range(bm):
@@ -94,14 +97,13 @@ def _encoder_kernel(
             v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
+            ) * (scale * 1.4426950408889634)
             s = jnp.where(key_mask, s, -1e30)
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            att_parts.append(
-                jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
-            )
+            p = jnp.exp2(s - m)
+            r = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
+            att_parts.append(o * pl.reciprocal(r, approx=False))
         att_rows.append(jnp.concatenate(att_parts, axis=-1))
     att = jnp.concatenate(att_rows, axis=0).astype(dtype)  # [bm*n_pad, h*hd]
 
@@ -340,13 +342,14 @@ def _encoder_kernel_blocked(
                 v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-                ) * scale
+                ) * (scale * 1.4426950408889634)
                 s = jnp.where(key_mask, s, -1e30)
                 m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                parts.append(jax.lax.dot(p.astype(dtype), v,
-                                         preferred_element_type=jnp.float32))
+                p = jnp.exp2(s - m)
+                r = jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot(p.astype(dtype), v,
+                                preferred_element_type=jnp.float32)
+                parts.append(o * pl.reciprocal(r, approx=False))
             att_rows.append(jnp.concatenate(parts, axis=-1))
         att = jnp.concatenate(att_rows, axis=0).astype(dtype)
         attn_out = (

@@ -21,7 +21,8 @@ Measured design decisions (v5e, stage-0 shapes):
 * exp2 with the log2(e) factor folded into the score scale and the bias
   pre-scaled (one VPU mul saved per element).
 * Softmax normalization DEFERRED past the PV matmul: the divide shrinks from
-  [n_pad, n_pad] to [n_pad, hd] and becomes an approximate-reciprocal mul.
+  [n_pad, n_pad] to [n_pad, hd] (exact reciprocal — approx buys nothing
+  measurable here and costs ~6e-3 logit drift).
 * fp32 scores (bf16 softmax measured slower: conversion churn).
 
 Capability parity: the reference has no Swin kernels at all (SURVEY.md §1 —
@@ -102,7 +103,7 @@ def _swin_block_kernel(
             p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        o = o * pl.reciprocal(r, approx=True)
+        o = o * pl.reciprocal(r, approx=False)
         outs.append(o.astype(dtype).reshape(gm * pn, hd))
     att = jnp.concatenate(outs, axis=-1)
 
