@@ -60,7 +60,8 @@ def cmd_benchmark(argv):
     p.add_argument("--style", default="standard")
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--kernel-mode", default="xla", choices=["xla", "pallas", "fused"])
+    p.add_argument("--kernel-mode", default="xla",
+                   choices=["xla", "pallas", "fused", "int8"])
     args = p.parse_args(argv)
 
     from .bench.looptimer import measure_op_time
@@ -71,7 +72,13 @@ def cmd_benchmark(argv):
     x = jnp.ones((args.batch,) + in_shape, jnp.dtype(args.dtype))
     params = model.init(jax.random.key(0), x)
     extra = ()
-    if args.kernel_mode == "fused":
+    if args.kernel_mode == "int8":
+        from .models.vit import fused_vit_apply_int8, prepare_vit_int8
+
+        sq = prepare_vit_int8(model, params)
+        fn = lambda p_, sq_, x_: fused_vit_apply_int8(model, p_, x_, sq_)
+        extra = (sq,)
+    elif args.kernel_mode == "fused":
         from .models.swin import SwinTransformer, fused_swin_apply, prepare_swin_fused
 
         if isinstance(model, SwinTransformer):
@@ -214,7 +221,8 @@ def cmd_eval(argv):
     p.add_argument("--marker-dir", default=None)
     # cross-implementation consistency (the reference's cross-runtime eval:
     # onnx vs tflite vs tf, SURVEY.md §4.3) — xla vs fused kernel vs int8
-    p.add_argument("--impl", default="xla", choices=["xla", "fused", "int8"])
+    p.add_argument("--impl", default="xla",
+                   choices=["xla", "fused", "int8", "int8_fused"])
     args = p.parse_args(argv)
 
     from .utils.checkpoint import load_checkpoint
@@ -233,6 +241,11 @@ def cmd_eval(argv):
 
         params = quantize_vit_params_int8(params)
         apply_fn = lambda p_, x_: int8_vit_apply(model, p_, x_)
+    elif args.impl == "int8_fused":
+        from .models.vit import fused_vit_apply_int8, prepare_vit_int8
+
+        sq = prepare_vit_int8(model, params)
+        apply_fn = lambda p_, x_: fused_vit_apply_int8(model, p_, x_, sq)
     else:
         apply_fn = model.apply
     acc = evaluate(apply_fn, params, args.data_dir, batch_size=args.batch,

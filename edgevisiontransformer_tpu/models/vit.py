@@ -323,6 +323,72 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     return x @ p["head"]["kernel"].astype(cfg.dtype) + p["head"]["bias"].astype(cfg.dtype)
 
 
+def prepare_vit_int8(model: ViT, variables) -> dict:
+    """Quantize the encoder stack to int8 once (per-layer, per-output-channel
+    scales).  Pure function of the params — hoist out of the forward; the
+    result feeds fused_vit_apply_int8."""
+    from ..ops.pallas.fused_encoder import (
+        quantize_stacked_int8,
+        stack_vit_layer_params,
+    )
+
+    cfg = model.config
+    stacked = stack_vit_layer_params(variables["params"], cfg.depth, cfg.qkv_bias)
+    return quantize_stacked_int8(stacked)
+
+
+def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
+                         stacked_q: dict | None = None,
+                         batch_block: int | None = None) -> jax.Array:
+    """Forward with the int8-weight-streaming whole-encoder kernel.
+
+    Dynamic-range semantics == ops/quant.int8_vit_apply (per-row activation
+    quant x per-channel weight scales, the TFLite dynamic mode analogue,
+    /root/reference/utils.py:260-262) — but the weights cross HBM as int8,
+    halving the traffic that bounds DeiT-Base b1.  Embedding and head stay
+    float, like the reference's dynamic mode.
+    """
+    cfg = model.config
+    if cfg.heads_per_layer is not None and len(set(cfg.heads_per_layer)) != 1:
+        raise ValueError("int8 fused encoder requires uniform per-layer heads")
+    if cfg.mlp_dim_per_layer is not None and len(set(cfg.mlp_dim_per_layer)) != 1:
+        raise ValueError("int8 fused encoder requires uniform per-layer mlp dims")
+    heads = (cfg.heads_per_layer[0] if cfg.heads_per_layer is not None
+             else cfg.heads)
+    if stacked_q is None:
+        stacked_q = prepare_vit_int8(model, variables)
+
+    from ..ops.pallas.fused_encoder import encoder_forward_int8
+
+    p = variables["params"]
+    img = img.astype(cfg.dtype)
+    x = patch_embed(
+        img, p["patch_kernel"].astype(cfg.dtype),
+        p["patch_bias"].astype(cfg.dtype), cfg.patch_size,
+    )
+    cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
+    x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
+
+    x = encoder_forward_int8(
+        x, stacked_q,
+        heads=heads, head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
+        reference_residual=cfg.reference_residual,
+        approx_gelu=cfg.gelu_approx, batch_block=batch_block,
+    )
+
+    if cfg.final_norm:
+        x = layer_norm(
+            x, p["final_norm"]["scale"], p["final_norm"]["bias"], cfg.layernorm_eps
+        )
+    x = x[:, 0]
+    act = get_gelu(cfg.gelu_approx)
+    if cfg.mlp_head:
+        h = x @ p["head_fc1"]["kernel"].astype(cfg.dtype) + p["head_fc1"]["bias"].astype(cfg.dtype)
+        h = act(h)
+        return h @ p["head_fc2"]["kernel"].astype(cfg.dtype) + p["head_fc2"]["bias"].astype(cfg.dtype)
+    return x @ p["head"]["kernel"].astype(cfg.dtype) + p["head"]["bias"].astype(cfg.dtype)
+
+
 def fully_fused_vit_apply(model: ViT, variables, img: jax.Array,
                           batch_block: int | None = None) -> jax.Array:
     """Forward pass as ONE Pallas kernel (patch-embed + encoder + head).

@@ -284,6 +284,222 @@ def stack_vit_layer_params(params: dict, depth: int, qkv_bias: bool) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Int8-weight variant: weights stream as int8 (+ per-output-channel fp32
+# scales), activations are dynamically quantized per row in-kernel, matmuls
+# run int8 x int8 -> int32 on the MXU (SURVEY §2.3 "int8 Pallas matmul
+# kernels"; semantics = ops/quant.int8_matmul_dynamic == TFLite dynamic-range
+# mode, /root/reference/utils.py:260-262).  Halves the weight HBM traffic —
+# the binding constraint for DeiT-Base b1 (170 MB bf16 weights = 208 us of
+# HBM at 819 GB/s vs the 0.386 ms XLA forward).
+# ---------------------------------------------------------------------------
+
+
+def _quant_rows_kernel(h):
+    """Per-row symmetric int8 quantization (in-kernel).  Matches
+    ops/quant.quantize_activation_rows."""
+    hf = h.astype(jnp.float32)
+    a = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+    s = jnp.where(a > 0, a / 127.0, 1.0)
+    q = jnp.clip(jnp.round(hf * pl.reciprocal(s, approx=False)), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _int8_mm(h, wq_ref, ws_ref):
+    """h [m, k] float -> int8 dynamic matmul vs streamed weight block."""
+    q, s = _quant_rows_kernel(h)
+    acc = jax.lax.dot_general(
+        q, wq_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * s * ws_ref[0]
+
+
+def _encoder_kernel_int8(
+    x_ref,
+    ln1_g_ref, ln1_b_ref,
+    qkv_w_ref, qkv_s_ref, qkv_b_ref,
+    out_w_ref, out_s_ref, out_b_ref,
+    ln2_g_ref, ln2_b_ref,
+    fc1_w_ref, fc1_s_ref, fc1_b_ref,
+    fc2_w_ref, fc2_s_ref, fc2_b_ref,
+    o_ref,
+    x_scratch,
+    *,
+    bm: int,
+    n_pad: int,
+    heads: int,
+    head_dim: int,
+    seq_len: int,
+    eps: float,
+    scale: float,
+    reference_residual: bool,
+    approx_gelu: bool,
+):
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        x_scratch[:] = x_ref[:]
+
+    x = x_scratch[:]
+    dtype = x.dtype
+
+    # ---- attention sublayer ----
+    h = _ln(x, ln1_g_ref[0], ln1_b_ref[0], eps).astype(dtype)
+    qkv = (_int8_mm(h, qkv_w_ref, qkv_s_ref)
+           + qkv_b_ref[0].astype(jnp.float32)).astype(dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    key_mask = col < seq_len
+    hd = head_dim
+    att_rows = []
+    for j in range(bm):
+        row0 = j * n_pad
+        att_parts = []
+        for i in range(heads):
+            q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
+            k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
+            v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * (scale * 1.4426950408889634)
+            s = jnp.where(key_mask, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            r = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
+            att_parts.append(o * pl.reciprocal(r, approx=False))
+        att_rows.append(jnp.concatenate(att_parts, axis=-1))
+    att = jnp.concatenate(att_rows, axis=0).astype(dtype)
+
+    attn_out = _int8_mm(att, out_w_ref, out_s_ref) + out_b_ref[0].astype(jnp.float32)
+    if reference_residual:
+        x = (attn_out + h.astype(jnp.float32)).astype(dtype)
+    else:
+        x = (attn_out + x.astype(jnp.float32)).astype(dtype)
+
+    # ---- MLP sublayer ----
+    h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
+    hid = (_int8_mm(h2, fc1_w_ref, fc1_s_ref)
+           + fc1_b_ref[0].astype(jnp.float32)).astype(dtype)
+    hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+    mlp_out = _int8_mm(hid, fc2_w_ref, fc2_s_ref) + fc2_b_ref[0].astype(jnp.float32)
+    if reference_residual:
+        x = (mlp_out + h2.astype(jnp.float32)).astype(dtype)
+    else:
+        x = (mlp_out + x.astype(jnp.float32)).astype(dtype)
+
+    x_scratch[:] = x
+
+    @pl.when(li == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = x
+
+
+def quantize_stacked_int8(stacked: dict) -> dict:
+    """Quantize a stack_vit_layer_params() dict's weights to int8 with
+    per-(layer, output-channel) scales (ops/quant.quantize_weight_int8
+    semantics applied per layer)."""
+    out = dict(stacked)
+    for key in ("qkv_w", "out_w", "fc1_w", "fc2_w"):
+        w = stacked[key].astype(jnp.float32)  # [L, in, out]
+        absmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)  # [L, 1, out]
+        s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        out[key] = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        out[key.replace("_w", "_s")] = s.astype(jnp.float32)
+    return out
+
+
+def encoder_forward_int8(
+    x: jax.Array,
+    stacked_q: dict,
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    reference_residual: bool = False,
+    approx_gelu: bool = False,
+    batch_block: int | None = None,
+    n_pad_multiple: int = 8,
+) -> jax.Array:
+    """Whole-encoder kernel with int8 weight streaming + dynamic activation
+    quantization.  stacked_q = quantize_stacked_int8(stack_vit_layer_params(...)).
+    """
+    b, n, dim = x.shape
+    depth = stacked_q["qkv_w"].shape[0]
+    inner = stacked_q["qkv_w"].shape[2]
+    mlp = stacked_q["fc1_w"].shape[2]
+    n_pad = round_up(n, n_pad_multiple)
+
+    if batch_block is not None:
+        bm = batch_block
+    else:
+        bm = max(1, (8 * 192 * 192) // (dim * dim))
+    bm = min(bm, b)
+    b_pad = round_up(b, bm)
+
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    xp = xp.reshape(b_pad * n_pad, dim)
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda bi, li: (li,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _encoder_kernel_int8,
+        bm=bm, n_pad=n_pad, heads=heads, head_dim=head_dim, seq_len=n,
+        eps=eps, scale=head_dim**-0.5,
+        reference_residual=reference_residual, approx_gelu=approx_gelu,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // bm, depth),
+        in_specs=[
+            pl.BlockSpec(
+                (bm * n_pad, dim), lambda bi, li: (bi, 0), memory_space=pltpu.VMEM
+            ),
+            wspec((1, dim)), wspec((1, dim)),              # ln1
+            wspec((dim, inner)), wspec((1, inner)), wspec((1, inner)),   # qkv
+            wspec((heads * head_dim, dim)), wspec((1, dim)), wspec((1, dim)),  # out
+            wspec((1, dim)), wspec((1, dim)),              # ln2
+            wspec((dim, mlp)), wspec((1, mlp)), wspec((1, mlp)),         # fc1
+            wspec((mlp, dim)), wspec((1, dim)), wspec((1, dim)),         # fc2
+        ],
+        out_specs=pl.BlockSpec(
+            (bm * n_pad, dim), lambda bi, li: (bi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad * n_pad, dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm * n_pad, dim), x.dtype)],
+        interpret=use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=depth * b_pad * 2 * n_pad * (
+                dim * inner + 2 * n_pad * head_dim * heads
+                + head_dim * heads * dim + 2 * dim * mlp
+            ),
+            bytes_accessed=int(
+                depth * (dim * inner + heads * head_dim * dim + 2 * dim * mlp)
+                * (b_pad // bm)
+            ),
+            transcendentals=depth * b_pad * n_pad * (n_pad * heads + mlp),
+        ),
+    )(
+        xp,
+        stacked_q["ln1_g"], stacked_q["ln1_b"],
+        stacked_q["qkv_w"], stacked_q["qkv_s"], stacked_q["qkv_b"],
+        stacked_q["out_w"], stacked_q["out_s"], stacked_q["out_b"],
+        stacked_q["ln2_g"], stacked_q["ln2_b"],
+        stacked_q["fc1_w"], stacked_q["fc1_s"], stacked_q["fc1_b"],
+        stacked_q["fc2_w"], stacked_q["fc2_s"], stacked_q["fc2_b"],
+    )
+    return out.reshape(b_pad, n_pad, dim)[:b, :n, :]
+
+
+# ---------------------------------------------------------------------------
 # MLP-blocked variant: supports models whose per-layer weights exceed VMEM
 # (DeiT-Base: 2x14 MB double-buffered).  Grid (batch_blocks, depth, S): the
 # attention sublayer runs at substage 0; the MLP streams fc1/fc2 in S

@@ -181,3 +181,35 @@ def test_base_dispatches_to_blocked():
     ref = np.asarray(model.apply(params, x))
     got = np.asarray(fused_vit_apply(model, params, x))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-4)
+
+
+def test_int8_fused_encoder_matches_xla_int8():
+    """encoder_forward_int8 (interpret off-TPU) must reproduce the XLA
+    dynamic-int8 path (ops/quant.int8_vit_apply) — same per-row activation
+    quantization, per-channel weight scales."""
+    from edgevisiontransformer_tpu.models.vit import (
+        ViT,
+        deit_config,
+        fused_vit_apply_int8,
+        prepare_vit_int8,
+    )
+    from edgevisiontransformer_tpu.ops.quant import (
+        int8_vit_apply,
+        quantize_vit_params_int8,
+    )
+
+    cfg = deit_config("tiny").replace(
+        image_size=32, patch_size=16, dim=64, depth=3, heads=2, mlp_dim=128,
+        num_classes=10,
+    )
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32))
+    v = model.init(jax.random.key(1), x)
+    ref = int8_vit_apply(model, quantize_vit_params_int8(v), x)
+    got = fused_vit_apply_int8(model, v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # prepared fast path identical
+    sq = prepare_vit_int8(model, v)
+    got2 = fused_vit_apply_int8(model, v, x, sq)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got), rtol=0, atol=0)
