@@ -258,24 +258,19 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
 
     Same params as ``model.apply`` (bit-for-bit interchangeable); the encoder
     stack runs as one pallas_call (ops/pallas/fused_encoder.py) instead of
-    per-layer XLA ops.  Requires uniform per-layer shapes (unpruned models).
+    per-layer XLA ops.  Non-uniform (layerwise-pruned) models are segmented:
+    each run of consecutive identically-shaped layers becomes one pallas_call
+    (the reference's ViT_Pruned layerwise encodings, vit.py:58-97 — their
+    latency must track MACs, BASELINE.md).
     """
     from ..ops.pallas.fused_encoder import (
         encoder_forward,
         encoder_forward_blocked,
+        encoder_forward_resident,
         stack_vit_layer_params,
     )
 
     cfg = model.config
-    heads, mlp = cfg.heads, cfg.mlp_dim
-    if cfg.heads_per_layer is not None:
-        if len(set(cfg.heads_per_layer)) != 1:
-            raise ValueError("fused encoder requires uniform per-layer heads")
-        heads = cfg.heads_per_layer[0]
-    if cfg.mlp_dim_per_layer is not None:
-        if len(set(cfg.mlp_dim_per_layer)) != 1:
-            raise ValueError("fused encoder requires uniform per-layer mlp dims")
-        mlp = cfg.mlp_dim_per_layer[0]
     p = variables["params"]
 
     img = img.astype(cfg.dtype)
@@ -288,10 +283,17 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
     x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
 
-    stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
-    stacked = jax.tree.map(lambda a: a.astype(cfg.dtype), stacked)
-    kw = dict(
-        heads=heads,
+    # segment consecutive layers with identical (heads, mlp) shapes
+    shapes = [(cfg.layer_heads(i), cfg.layer_mlp_dim(i)) for i in range(cfg.depth)]
+    segments = []  # (start, depth, heads, mlp)
+    for i, sh in enumerate(shapes):
+        if segments and segments[-1][2:] == sh:
+            start, d, h_, m_ = segments[-1]
+            segments[-1] = (start, d + 1, h_, m_)
+        else:
+            segments.append((i, 1, sh[0], sh[1]))
+
+    base_kw = dict(
         head_dim=cfg.resolved_head_dim,
         eps=cfg.layernorm_eps,
         reference_residual=cfg.reference_residual,
@@ -299,16 +301,30 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
         batch_block=batch_block,
         n_pad_multiple=n_pad_multiple,
     )
-    # per-layer weight footprint (bf16, double-buffered) beyond ~8 MB needs
-    # the MLP-blocked variant (DeiT-Base)
-    inner = stacked["qkv_w"].shape[2]
-    mlp_d = stacked["fc1_w"].shape[2]
-    layer_bytes = 2 * 2 * (cfg.dim * inner + heads * cfg.resolved_head_dim * cfg.dim
-                           + 2 * cfg.dim * mlp_d)
-    if layer_bytes > 8 * 1024 * 1024 and mlp_d % 768 == 0:
-        x = encoder_forward_blocked(x, stacked, mlp_chunk=768, **kw)
-    else:
-        x = encoder_forward(x, stacked, **kw)
+    for start, seg_depth, heads, mlp_d in segments:
+        stacked = stack_vit_layer_params(p, seg_depth, cfg.qkv_bias, start=start)
+        stacked = jax.tree.map(lambda a: a.astype(cfg.dtype), stacked)
+        inner = stacked["qkv_w"].shape[2]
+        itemsize = jnp.dtype(cfg.dtype).itemsize
+        layer_bytes = itemsize * (
+            cfg.dim * inner + heads * cfg.resolved_head_dim * cfg.dim
+            + 2 * cfg.dim * mlp_d
+        )
+        bm_eff = min(max(1, (8 * 192 * 192) // (cfg.dim * cfg.dim)), img.shape[0])
+        if (seg_depth * layer_bytes <= 12 * 1024 * 1024
+                and seg_depth * heads * bm_eff <= 72):
+            # whole segment's weights fit VMEM and the in-kernel unroll stays
+            # bounded: no per-layer grid steps (saves ~1.5 us/layer of step
+            # overhead — the b1 win for tiny/pruned shapes; large batches
+            # keep the streamed variant, whose unroll is per-layer)
+            x = encoder_forward_resident(x, stacked, heads=heads, **base_kw)
+        elif 2 * layer_bytes > 16 * 1024 * 1024 and mlp_d % 768 == 0:
+            # per-layer weights too big to double-buffer (DeiT-Base):
+            # stream the MLP in hidden-dim chunks
+            x = encoder_forward_blocked(x, stacked, mlp_chunk=768, heads=heads,
+                                        **base_kw)
+        else:
+            x = encoder_forward(x, stacked, heads=heads, **base_kw)
 
     if cfg.final_norm:
         x = layer_norm(

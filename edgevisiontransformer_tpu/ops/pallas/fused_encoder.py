@@ -252,26 +252,30 @@ def encoder_forward(
     return out.reshape(b_pad, n_pad, dim)[:b, :n, :]
 
 
-def stack_vit_layer_params(params: dict, depth: int, qkv_bias: bool) -> dict:
+def stack_vit_layer_params(params: dict, depth: int, qkv_bias: bool,
+                           start: int = 0) -> dict:
     """Stack per-block flax params into [L, ...] arrays for encoder_forward.
 
     params: the "params" sub-tree of a ViT variables dict (models/vit.py).
     Vectors become [L, 1, d] so their VMEM blocks have a 2D trailing shape.
+    ``start``: first block index — lets layerwise-pruned models stack each
+    run of identically-shaped consecutive layers into its own segment.
     """
     def stack(getter):
-        arrs = [getter(params[f"block_{i}"]) for i in range(depth)]
+        arrs = [getter(params[f"block_{i}"]) for i in range(start, start + depth)]
         out = jnp.stack(arrs)
         if out.ndim == 2:  # [L, dim] vectors -> [L, 1, dim]
             out = out[:, None, :]
         return out
 
-    inner = params["block_0"]["attn"]["qkv_kernel"].shape[1]
+    inner = params[f"block_{start}"]["attn"]["qkv_kernel"].shape[1]
     return {
         "ln1_g": stack(lambda b: b["ln1"]["scale"]),
         "ln1_b": stack(lambda b: b["ln1"]["bias"]),
         "qkv_w": stack(lambda b: b["attn"]["qkv_kernel"]),
         "qkv_b": stack(lambda b: b["attn"]["qkv_bias"]) if qkv_bias
-        else jnp.zeros((depth, 1, inner), params["block_0"]["attn"]["qkv_kernel"].dtype),
+        else jnp.zeros((depth, 1, inner),
+                       params[f"block_{start}"]["attn"]["qkv_kernel"].dtype),
         "out_w": stack(lambda b: b["attn"]["out_kernel"]),
         "out_b": stack(lambda b: b["attn"]["out_bias"]),
         "ln2_g": stack(lambda b: b["ln2"]["scale"]),
@@ -281,6 +285,157 @@ def stack_vit_layer_params(params: dict, depth: int, qkv_bias: bool) -> dict:
         "fc2_w": stack(lambda b: b["ffn"]["fc2_kernel"]),
         "fc2_b": stack(lambda b: b["ffn"]["fc2_bias"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Weights-resident variant: ALL layers' weights live in VMEM for the whole
+# call and the kernel loops over layers in a static python loop — no per-layer
+# grid steps.  Each grid step of the streamed variant costs ~1.5 us of fixed
+# overhead (measured round 2: all_head1_ffn0.3 encoder 37 us streamed vs
+# 21.6 us resident; unpruned tiny 54 -> 40.5 us), which dominates b1 latency
+# for small/pruned models whose weights fit VMEM (DeiT-Tiny 11 MB bf16).
+# ---------------------------------------------------------------------------
+
+
+def _encoder_kernel_resident(
+    x_ref,
+    ln1_g, ln1_b, qkv_w, qkv_b, out_w, out_b,
+    ln2_g, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b,
+    o_ref,
+    *,
+    depth: int,
+    bm: int,
+    n_pad: int,
+    heads: int,
+    head_dim: int,
+    seq_len: int,
+    eps: float,
+    scale: float,
+    reference_residual: bool,
+    approx_gelu: bool,
+):
+    x = x_ref[:]
+    dtype = x.dtype
+    hd = head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    key_mask = col < seq_len
+
+    for li in range(depth):
+        h = _ln(x, ln1_g[li], ln1_b[li], eps).astype(dtype)
+        qkv = (
+            jax.lax.dot(h, qkv_w[li], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + qkv_b[li]
+        )
+        att_rows = []
+        for j in range(bm):
+            row0 = j * n_pad
+            parts = []
+            for i in range(heads):
+                q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
+                k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
+                v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (scale * 1.4426950408889634)
+                s = jnp.where(key_mask, s, -1e30)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m)
+                r = jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot(p.astype(dtype), v,
+                                preferred_element_type=jnp.float32)
+                parts.append(o * pl.reciprocal(r, approx=False))
+            att_rows.append(jnp.concatenate(parts, axis=-1))
+        att = jnp.concatenate(att_rows, axis=0).astype(dtype)
+
+        attn_out = (
+            jax.lax.dot(att, out_w[li], preferred_element_type=jnp.float32)
+            + out_b[li].astype(jnp.float32)
+        )
+        x = (attn_out + (h if reference_residual else x).astype(jnp.float32)).astype(dtype)
+
+        h2 = _ln(x, ln2_g[li], ln2_b[li], eps).astype(dtype)
+        hid = (
+            jax.lax.dot(h2, fc1_w[li], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + fc1_b[li]
+        )
+        hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+        mlp_out = (
+            jax.lax.dot(hid, fc2_w[li], preferred_element_type=jnp.float32)
+            + fc2_b[li].astype(jnp.float32)
+        )
+        x = (mlp_out + (h2 if reference_residual else x).astype(jnp.float32)).astype(dtype)
+
+    o_ref[:] = x
+
+
+def encoder_forward_resident(
+    x: jax.Array,
+    stacked: dict,
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    reference_residual: bool = False,
+    approx_gelu: bool = False,
+    batch_block: int | None = None,
+    n_pad_multiple: int = 8,
+) -> jax.Array:
+    """Whole-encoder kernel with ALL weights VMEM-resident (see above)."""
+    b, n, dim = x.shape
+    depth = stacked["qkv_w"].shape[0]
+    n_pad = round_up(n, n_pad_multiple)
+
+    if batch_block is not None:
+        bm = batch_block
+    else:
+        bm = max(1, (8 * 192 * 192) // (dim * dim))
+    bm = min(bm, b)
+    b_pad = round_up(b, bm)
+
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    xp = xp.reshape(b_pad * n_pad, dim)
+
+    kernel = functools.partial(
+        _encoder_kernel_resident,
+        depth=depth, bm=bm, n_pad=n_pad, heads=heads, head_dim=head_dim,
+        seq_len=n, eps=eps, scale=head_dim**-0.5,
+        reference_residual=reference_residual, approx_gelu=approx_gelu,
+    )
+
+    # Right-size the VMEM budget: a blanket-high limit measurably hurts
+    # (deit_tiny b1: 0.0707 ms at 120 MB vs 0.0607 at 48 MB — the reservation
+    # starves surrounding ops), so ask only for weights + working set.
+    wbytes = sum(int(a.size) * a.dtype.itemsize for a in stacked.values())
+    vmem_limit = min(96 * 1024 * 1024, int(wbytes * 1.25) + 24 * 1024 * 1024)
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm * n_pad, dim), lambda bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [full()] * 12,
+        out_specs=pl.BlockSpec((bm * n_pad, dim), lambda bi: (bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad * n_pad, dim), x.dtype),
+        interpret=use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
+    )(
+        xp,
+        stacked["ln1_g"], stacked["ln1_b"],
+        stacked["qkv_w"], stacked["qkv_b"],
+        stacked["out_w"], stacked["out_b"],
+        stacked["ln2_g"], stacked["ln2_b"],
+        stacked["fc1_w"], stacked["fc1_b"],
+        stacked["fc2_w"], stacked["fc2_b"],
+    )
+    return out.reshape(b_pad, n_pad, dim)[:b, :n, :]
 
 
 # ---------------------------------------------------------------------------

@@ -137,15 +137,23 @@ def test_fused_encoder_uniform_pruned():
     got = np.asarray(fused_vit_apply(model, params, x))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-4)
 
-    # non-uniform still rejected
-    import pytest as _pytest
-
+    # non-uniform (layerwise) shapes run segmented (round 2): parity vs XLA
     enc = "layerwise_" + "_".join(["h2-d0.5"] * 6 + ["h3-d1.0"] * 6)
-    cfg2 = pruned_vit_config(size="tiny", prune_encoding=enc)
+    cfg2 = pruned_vit_config(size="tiny", prune_encoding=enc).replace(
+        image_size=32, patch_size=16, dim=64, mlp_dim=64, head_dim=16,
+        num_classes=10,
+    )
+    from edgevisiontransformer_tpu.config import decode_prune_encoding
+
+    hpl, mpl = decode_prune_encoding(enc, 12, 64)
+    cfg2 = cfg2.replace(heads_per_layer=hpl, mlp_dim_per_layer=mpl)
     m2 = ViT(cfg2)
-    p2 = jax.eval_shape(lambda: m2.init(jax.random.key(0), x))
-    with _pytest.raises(ValueError):
-        fused_vit_apply(m2, p2, x)
+    x2 = jax.random.normal(jax.random.key(3), (1, 3, 32, 32))
+    p2 = m2.init(jax.random.key(0), x2)
+    got2 = fused_vit_apply(m2, p2, x2)
+    ref2 = m2.apply(p2, x2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-4, atol=5e-4)
 
 
 def test_blocked_encoder_matches_plain():
