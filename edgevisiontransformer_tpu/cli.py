@@ -80,10 +80,15 @@ def cmd_benchmark(argv):
         extra = (sq,)
     elif args.kernel_mode == "fused":
         from .models.swin import SwinTransformer, fused_swin_apply, prepare_swin_fused
+        from .models.t2t_vit import T2TViT, fused_t2t_apply, prepare_t2t_fused
 
         if isinstance(model, SwinTransformer):
             prep = prepare_swin_fused(model, params)
             fn = lambda p_, pp_, x_: fused_swin_apply(model, p_, x_, prepared=pp_)
+            extra = (prep,)
+        elif isinstance(model, T2TViT):
+            prep = prepare_t2t_fused(model, params)
+            fn = lambda p_, pp_, x_: fused_t2t_apply(model, p_, x_, pp_)
             extra = (prep,)
         else:
             from .models.vit import fused_vit_apply
@@ -197,10 +202,17 @@ def cmd_export(argv):
         return
 
     if args.from_hf:
-        from .utils.hf_import import load_hf_model_params
+        if "t2t" in args.model:
+            # official *.pth.tar checkpoint (reference tools.py:360-365)
+            from .utils.hf_import import load_t2t_checkpoint
 
-        family = "swin" if "swin" in args.model else "vit"
-        cfg, params = load_hf_model_params(args.from_hf, family)
+            variant = int(args.model.rsplit("_", 1)[-1])
+            cfg, params = load_t2t_checkpoint(args.from_hf, variant)
+        else:
+            from .utils.hf_import import load_hf_model_params
+
+            family = "swin" if "swin" in args.model else "vit"
+            cfg, params = load_hf_model_params(args.from_hf, family)
         meta = {"model": args.model, "hf": args.from_hf}
     else:
         model, in_shape = _build_model(args.model, args.style)

@@ -120,6 +120,7 @@ class T2TModule(nn.Module):
     image_size: int = 224
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    gelu_approx: bool = True
 
     @nn.compact
     def __call__(self, img: jax.Array) -> jax.Array:
@@ -129,14 +130,16 @@ class T2TModule(nn.Module):
         s0 = unfold_output_size(self.image_size, 7, 4, 2)
 
         x = TokenPerformer(self.token_size, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="performer1")(x)
+                           param_dtype=self.param_dtype,
+                           gelu_approx=self.gelu_approx, name="performer1")(x)
         x = x.reshape(b, s0, s0, self.token_size)
         x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for unfold
         x = unfold(x, 3, 2, 1)  # [b, 28*28, token*9]
         s1 = unfold_output_size(s0, 3, 2, 1)
 
         x = TokenPerformer(self.token_size, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="performer2")(x)
+                           param_dtype=self.param_dtype,
+                           gelu_approx=self.gelu_approx, name="performer2")(x)
         x = x.reshape(b, s1, s1, self.token_size)
         x = jnp.transpose(x, (0, 3, 1, 2))
         x = unfold(x, 3, 2, 1)  # [b, 14*14, token*9]
@@ -167,6 +170,7 @@ class T2TViT(nn.Module):
             image_size=cfg.image_size,
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
+            gelu_approx=cfg.gelu_approx,
             name="tokens_to_token",
         )(img)
 
@@ -189,6 +193,191 @@ class T2TViT(nn.Module):
         return nn.Dense(
             cfg.num_classes, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="head"
         )(x)
+
+
+# ---------------------------------------------------------------------------
+# Fused inference path (round 2).  The first soft-split is the reference's
+# known hotspot (ExtractImagePatches + Einsum Flex ops,
+# /root/reference/analyse.py:19-21); measured on v5e b1 it is 54 us of the
+# 111 us t2t_vit_7 forward.  Since performer1 consumes the unfold output ONLY
+# through norm1+kqv, the whole unfold+LN+Linear chain collapses to:
+#   space-to-depth (1.5 us) -> 9 shifted views of the 48 phase planes,
+#   lane-concatenated -> ONE [n, 432] @ [432, 192] matmul against a
+#   shift-expanded weight with LayerNorm folded in (gamma into rows; mu/sigma
+#   from ridden-along sum columns).  Measured 48.5 us vs 66-71 us for the
+#   chain (3x3-conv and per-channel forms measured worse: 67 / 101 us).
+# ---------------------------------------------------------------------------
+
+_S2D_SHIFTS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def build_stage1_weights(kqv_kernel, kqv_bias, g, b):
+    """Expand performer1's norm1+kqv params into the shift-concat form.
+
+    Returns (W9 [9*48, 3*emb], M9 [9*48, 1] mean mask, c1 [3*emb], c2 [3*emb]):
+    fast_stage1 output == kqv(LN(unfold(img, 7, 4, 2))).
+    """
+    W = np.asarray(kqv_kernel, np.float32)   # [147, 3*emb]
+    g = np.asarray(g, np.float32)
+    gw = W * g[:, None]
+    dmodel = W.shape[1]
+    W9 = np.zeros((9, 48, dmodel), np.float32)
+    M9 = np.zeros((9, 48, 1), np.float32)
+    sidx = {sh: i for i, sh in enumerate(_S2D_SHIFTS)}
+    for c in range(3):
+        for ky in range(7):
+            dy, phy = (ky - 2) // 4, (ky - 2) % 4
+            for kx in range(7):
+                dx, phx = (kx - 2) // 4, (kx - 2) % 4
+                f = c * 49 + ky * 7 + kx
+                ph = c * 16 + phy * 4 + phx
+                W9[sidx[(dy, dx)], ph] = gw[f]
+                M9[sidx[(dy, dx)], ph] = 1.0
+    c1 = gw.sum(0)
+    c2 = np.asarray(b, np.float32) @ W
+    if kqv_bias is not None:
+        c2 = c2 + np.asarray(kqv_bias, np.float32)
+    return (jnp.asarray(W9.reshape(9 * 48, dmodel)),
+            jnp.asarray(M9.reshape(9 * 48, 1)),
+            jnp.asarray(c1), jnp.asarray(c2))
+
+
+def fast_stage1_kqv(img, W9, M9, c1, c2, eps: float = 1e-5):
+    """kqv(LN(unfold(img, k7 s4 p2))) without materializing the unfold."""
+    bsz = img.shape[0]
+    dt = img.dtype
+    t = img.reshape(bsz, 3, 56, 4, 56, 4)
+    t = jnp.transpose(t, (0, 2, 4, 1, 3, 5)).reshape(bsz, 56, 56, 48)
+    tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    parts = [tp[:, 1 + dy:57 + dy, 1 + dx:57 + dx, :] for dy, dx in _S2D_SHIFTS]
+    big = jnp.concatenate(parts, -1).reshape(bsz, 56 * 56, 9 * 48)
+    out = jax.lax.dot_general(
+        big, W9.astype(dt), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [b, n, d]
+    mu = jax.lax.dot_general(
+        big, M9.astype(dt), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / 147.0
+    sq = jax.lax.dot_general(
+        big * big, M9.astype(dt), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / 147.0
+    var = sq - mu * mu
+    y = (out - mu * c1) * jax.lax.rsqrt(var + eps) + c2
+    return y.astype(dt)
+
+
+def prepare_t2t_fused(model: "T2TViT", variables) -> dict:
+    """Precompute the stage-1 shift-expanded weights (pure function of the
+    params — hoist out of the forward)."""
+    p = variables["params"]["tokens_to_token"]["performer1"]
+    kqv = p["kqv"]
+    W9, M9, c1, c2 = build_stage1_weights(
+        kqv["kernel"], kqv.get("bias"), p["norm1_scale"], p["norm1_bias"])
+    return {"W9": W9, "M9": M9, "c1": c1, "c2": c2}
+
+
+def _performer_rest(x_kqv, p, consts, cfg, emb: int):
+    """TokenPerformer minus norm1+kqv (which fast_stage1_kqv replaced)."""
+    w = consts["w"]
+    m = w.shape[0]
+    k, q, v = jnp.split(x_kqv, 3, axis=-1)
+
+    def prm_exp(t):
+        t = t.astype(jnp.float32)
+        td = jnp.sum(t * t, axis=-1, keepdims=True) / 2.0
+        wtd = jnp.einsum("bti,mi->btm", t, w)
+        return jnp.exp(wtd - td) / math.sqrt(m)
+
+    kp, qp = prm_exp(k), prm_exp(q)
+    vf = v.astype(jnp.float32)
+    D = jnp.einsum("bti,bi->bt", qp, jnp.sum(kp, axis=1))[..., None]
+    kptv = jnp.einsum("bin,bim->bnm", vf, kp)
+    y = jnp.einsum("bti,bni->btn", qp, kptv) / (D + 1e-8)
+    dt = cfg.dtype
+    ao = y.astype(dt) @ p["attn_output"]["kernel"] + p["attn_output"]["bias"]
+    y = (vf + ao.astype(jnp.float32)).astype(dt)
+
+    h = layer_norm(y, p["norm2_scale"], p["norm2_bias"], 1e-5)
+    h = mlp_block(h, p["mlp_fc1_kernel"].astype(dt), p["mlp_fc1_bias"].astype(dt),
+                  p["mlp_fc2_kernel"].astype(dt), p["mlp_fc2_bias"].astype(dt),
+                  get_gelu(cfg.gelu_approx))
+    return y + h
+
+
+def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
+                    prepared: dict | None = None) -> jax.Array:
+    """T2T forward with the fast stage-1 tokenizer and the fused
+    (weights-resident) Pallas encoder.  Same params as ``model.apply``."""
+    from ..ops.pallas.fused_encoder import (
+        encoder_forward_resident,
+        stack_vit_layer_params,
+    )
+
+    cfg = model.config
+    dt = cfg.dtype
+    p = variables["params"]
+    consts = variables.get("constants", {})
+    tok = p["tokens_to_token"]
+    tok_c = consts.get("tokens_to_token", {})
+    if prepared is None:
+        prepared = prepare_t2t_fused(model, variables)
+
+    img = img.astype(dt)
+    x = fast_stage1_kqv(img, prepared["W9"], prepared["M9"],
+                        prepared["c1"], prepared["c2"])
+    ts = tok["performer1"]["mlp_fc1_kernel"].shape[0]  # token_size
+    x = _performer_rest(x, tok["performer1"],
+                        tok_c.get("performer1") or _perf_const(model, variables, 1),
+                        cfg, ts)
+
+    bsz = x.shape[0]
+    x = x.reshape(bsz, 56, 56, ts)
+    x = jnp.transpose(x, (0, 3, 1, 2))
+    x = unfold(x, 3, 2, 1)
+    xk = layer_norm(x, tok["performer2"]["norm1_scale"],
+                    tok["performer2"]["norm1_bias"], 1e-5)
+    xk = xk @ tok["performer2"]["kqv"]["kernel"].astype(dt)
+    if "bias" in tok["performer2"]["kqv"]:
+        xk = xk + tok["performer2"]["kqv"]["bias"].astype(dt)
+    x = _performer_rest(xk, tok["performer2"],
+                        tok_c.get("performer2") or _perf_const(model, variables, 2),
+                        cfg, ts)
+    x = x.reshape(bsz, 28, 28, ts)
+    x = jnp.transpose(x, (0, 3, 1, 2))
+    x = unfold(x, 3, 2, 1)
+    x = x @ tok["project"]["kernel"].astype(dt) + tok["project"]["bias"].astype(dt)
+
+    cls = jnp.broadcast_to(p["cls_token"].astype(dt), (bsz, 1, cfg.dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    pos = consts.get("pos_embedding")
+    if pos is None:
+        pos = jnp.asarray(sinusoid_encoding(x.shape[1], cfg.dim))
+    x = x + pos.astype(dt)
+
+    stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
+    stacked = jax.tree.map(lambda a: a.astype(dt), stacked)
+    x = encoder_forward_resident(
+        x, stacked, heads=cfg.heads, head_dim=cfg.resolved_head_dim,
+        eps=cfg.layernorm_eps, reference_residual=cfg.reference_residual,
+        approx_gelu=cfg.gelu_approx,
+    )
+
+    x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
+                   cfg.layernorm_eps)
+    x = x[:, 0]
+    return x @ p["head"]["kernel"].astype(dt) + p["head"]["bias"].astype(dt)
+
+
+def _perf_const(model, variables, which: int):
+    """Recreate a performer's frozen random-feature matrix when the caller
+    didn't pass the constants collection (random-init models)."""
+    ts = variables["params"]["tokens_to_token"][f"performer{which}"][
+        "mlp_fc1_kernel"].shape[0]
+    m = int(ts * 0.5)
+    w = nn.initializers.orthogonal()(jax.random.key(42), (m, ts), jnp.float32)
+    return {"w": w * math.sqrt(m)}
 
 
 _T2T_SHAPES = {

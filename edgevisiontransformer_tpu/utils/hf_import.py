@@ -231,6 +231,116 @@ def import_hf_swin(state_dict: Mapping[str, "np.ndarray"], cfg: SwinConfig):
     return {"params": _to_jnp(params)}
 
 
+def t2t_config_from_variant(variant: int, num_classes: int = 1000):
+    """Config matching the official yitu-opensource T2T-ViT checkpoints
+    (the *.pth.tar files the reference loads, tools.py:360-365): standard
+    residuals, no qkv bias, exact GELU, torch LayerNorm eps."""
+    from ..models.t2t_vit import t2t_vit_config
+
+    return t2t_vit_config(
+        variant, style="standard", qkv_bias=False, layernorm_eps=1e-5,
+        gelu_approx=False, num_classes=num_classes,
+    )
+
+
+def import_t2t_torch(state_dict: Mapping[str, "np.ndarray"], variant: int,
+                     num_classes: int = 1000):
+    """Convert an official T2T-ViT torch state dict to our variables.
+
+    Key map (yitu-opensource/T2T-ViT models/{t2t_vit,token_performer}.py; the
+    reference's TF port mirrors it, /root/reference/modeling/models/
+    t2t_vit.py + layers/transformer_encoder.py:39-101):
+
+      tokens_to_token.attention{1,2}.{kqv,proj,norm1,norm2,mlp.0,mlp.2,w}
+      tokens_to_token.project | cls_token | pos_embed
+      blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2} | norm | head
+
+    Returns (config, variables) where variables includes the "constants"
+    collection (the performers' frozen random-feature matrices ``w`` and the
+    sinusoid ``pos_embed`` come from the checkpoint — w is NOT recomputable).
+    """
+    cfg = t2t_config_from_variant(variant, num_classes)
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def lin(prefix):
+        out = {"kernel": sd[f"{prefix}.weight"].T}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return out
+
+    def performer(tag):
+        pre = f"tokens_to_token.{tag}"
+        return {
+            "kqv": lin(f"{pre}.kqv"),
+            "attn_output": lin(f"{pre}.proj"),
+            "norm1_scale": sd[f"{pre}.norm1.weight"],
+            "norm1_bias": sd[f"{pre}.norm1.bias"],
+            "norm2_scale": sd[f"{pre}.norm2.weight"],
+            "norm2_bias": sd[f"{pre}.norm2.bias"],
+            "mlp_fc1_kernel": sd[f"{pre}.mlp.0.weight"].T,
+            "mlp_fc1_bias": sd[f"{pre}.mlp.0.bias"],
+            "mlp_fc2_kernel": sd[f"{pre}.mlp.2.weight"].T,
+            "mlp_fc2_bias": sd[f"{pre}.mlp.2.bias"],
+        }
+
+    params: Dict = {
+        "tokens_to_token": {
+            "performer1": performer("attention1"),
+            "performer2": performer("attention2"),
+            "project": lin("tokens_to_token.project"),
+        },
+        "cls_token": sd["cls_token"],
+        "final_norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+        "head": lin("head"),
+    }
+    for i in range(cfg.depth):
+        pre = f"blocks.{i}"
+        blk = {
+            "ln1": {"scale": sd[f"{pre}.norm1.weight"],
+                    "bias": sd[f"{pre}.norm1.bias"]},
+            "ln2": {"scale": sd[f"{pre}.norm2.weight"],
+                    "bias": sd[f"{pre}.norm2.bias"]},
+            "attn": {
+                # torch Linear [out, in] -> [in, out]; out ordering
+                # (qkv, head, hd) matches our fused layout
+                "qkv_kernel": sd[f"{pre}.attn.qkv.weight"].T,
+                "out_kernel": sd[f"{pre}.attn.proj.weight"].T,
+                "out_bias": sd[f"{pre}.attn.proj.bias"],
+            },
+            "ffn": {
+                "fc1_kernel": sd[f"{pre}.mlp.fc1.weight"].T,
+                "fc1_bias": sd[f"{pre}.mlp.fc1.bias"],
+                "fc2_kernel": sd[f"{pre}.mlp.fc2.weight"].T,
+                "fc2_bias": sd[f"{pre}.mlp.fc2.bias"],
+            },
+        }
+        if f"{pre}.attn.qkv.bias" in sd:
+            blk["attn"]["qkv_bias"] = sd[f"{pre}.attn.qkv.bias"]
+        params[f"block_{i}"] = blk
+
+    constants = {
+        "tokens_to_token": {
+            "performer1": {"w": sd["tokens_to_token.attention1.w"]},
+            "performer2": {"w": sd["tokens_to_token.attention2.w"]},
+        },
+        "pos_embedding": sd["pos_embed"][0],
+    }
+    return cfg, {"params": _to_jnp(params), "constants": _to_jnp(constants)}
+
+
+def load_t2t_checkpoint(path: str, variant: int, num_classes: int = 1000):
+    """Load an official ``*.pth.tar`` T2T checkpoint (reference
+    tools.py:360-365 filenames like ``71.7_T2T_ViT_7.pth.tar``)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict_ema", "state_dict", "model"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    return import_t2t_torch(ckpt, variant, num_classes)
+
+
 def load_hf_model_params(name_or_path: str, family: str = "vit"):
     """Load a pretrained HF checkpoint and convert (needs local cache/files).
 

@@ -85,3 +85,194 @@ def test_t2t_vit_forward_small():
     assert jnp.isfinite(y).all()
     # sinusoid pos table is a non-trainable constant
     assert "constants" in variables
+
+
+# ---------------------------------------------------------------------------
+# Official-checkpoint converter parity: a torch re-statement of the official
+# yitu-opensource T2T-ViT (whose *.pth.tar files the reference loads,
+# tools.py:360-365) is the numerics oracle for import_t2t_torch.
+# ---------------------------------------------------------------------------
+
+
+def _build_torch_t2t(variant=7, num_classes=10, seed=0):
+    import math
+
+    import torch
+    import torch.nn as tnn
+
+    torch.manual_seed(seed)
+    shapes = {7: (256, 7, 4, 512), 14: (384, 14, 6, 1152)}
+    dim, depth, heads, mlp_dim = shapes[variant]
+    token_dim = 64
+
+    class TokenPerformer(tnn.Module):
+        def __init__(self, in_feat, emb):
+            super().__init__()
+            self.emb = emb
+            self.kqv = tnn.Linear(in_feat, 3 * emb)
+            self.proj = tnn.Linear(emb, emb)
+            self.norm1 = tnn.LayerNorm(in_feat)
+            self.norm2 = tnn.LayerNorm(emb)
+            self.mlp = tnn.Sequential(
+                tnn.Linear(emb, emb), tnn.GELU(), tnn.Linear(emb, emb))
+            self.m = int(emb * 0.5)
+            self.register_parameter(
+                "w",
+                tnn.Parameter(
+                    tnn.init.orthogonal_(torch.randn(self.m, emb))
+                    * math.sqrt(self.m),
+                    requires_grad=False,
+                ),
+            )
+            self.epsilon = 1e-8
+
+        def prm_exp(self, x):
+            xd = (x * x).sum(-1, keepdim=True).repeat(1, 1, self.m) / 2
+            wtx = torch.einsum("bti,mi->btm", x.float(), self.w)
+            return torch.exp(wtx - xd) / math.sqrt(self.m)
+
+        def forward(self, x):
+            x = self.norm1(x)
+            k, q, v = torch.split(self.kqv(x), self.emb, dim=-1)
+            kp, qp = self.prm_exp(k), self.prm_exp(q)
+            D = torch.einsum("bti,bi->bt", qp, kp.sum(1)).unsqueeze(2)
+            kptv = torch.einsum("bin,bim->bnm", v.float(), kp)
+            y = torch.einsum("bti,bni->btn", qp, kptv) / (
+                D.repeat(1, 1, self.emb) + self.epsilon)
+            y = v + self.proj(y)
+            return y + self.mlp(self.norm2(y))
+
+    class T2TModule(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.soft_split0 = tnn.Unfold(7, stride=4, padding=2)
+            self.soft_split1 = tnn.Unfold(3, stride=2, padding=1)
+            self.soft_split2 = tnn.Unfold(3, stride=2, padding=1)
+            self.attention1 = TokenPerformer(3 * 7 * 7, token_dim)
+            self.attention2 = TokenPerformer(token_dim * 9, token_dim)
+            self.project = tnn.Linear(token_dim * 9, dim)
+
+        def forward(self, x):
+            x = self.soft_split0(x).transpose(1, 2)
+            x = self.attention1(x)
+            B, n, C = x.shape
+            s = int(n ** 0.5)
+            x = x.transpose(1, 2).reshape(B, C, s, s)
+            x = self.soft_split1(x).transpose(1, 2)
+            x = self.attention2(x)
+            B, n, C = x.shape
+            s = int(n ** 0.5)
+            x = x.transpose(1, 2).reshape(B, C, s, s)
+            x = self.soft_split2(x).transpose(1, 2)
+            return self.project(x)
+
+    class Mlp(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = tnn.Linear(dim, mlp_dim)
+            self.act = tnn.GELU()
+            self.fc2 = tnn.Linear(mlp_dim, dim)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class Attention(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = tnn.Linear(dim, dim * 3, bias=False)
+            self.proj = tnn.Linear(dim, dim)
+            self.heads = heads
+
+        def forward(self, x):
+            B, N, C = x.shape
+            hd = C // self.heads
+            qkv = self.qkv(x).reshape(B, N, 3, self.heads, hd).permute(
+                2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * (hd ** -0.5)
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj(x)
+
+    class Block(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(dim)
+            self.attn = Attention()
+            self.norm2 = tnn.LayerNorm(dim)
+            self.mlp = Mlp()
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class T2TViTTorch(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            from edgevisiontransformer_tpu.models.t2t_vit import (
+                sinusoid_encoding,
+            )
+
+            self.tokens_to_token = T2TModule()
+            self.cls_token = tnn.Parameter(torch.randn(1, 1, dim) * 0.02)
+            self.register_parameter(
+                "pos_embed",
+                tnn.Parameter(
+                    torch.tensor(sinusoid_encoding(197, dim)[None]),
+                    requires_grad=False,
+                ),
+            )
+            self.blocks = tnn.ModuleList([Block() for _ in range(depth)])
+            self.norm = tnn.LayerNorm(dim)
+            self.head = tnn.Linear(dim, num_classes)
+
+        def forward(self, x):
+            x = self.tokens_to_token(x)
+            cls = self.cls_token.expand(x.shape[0], -1, -1)
+            x = torch.cat([cls, x], dim=1) + self.pos_embed
+            for blk in self.blocks:
+                x = blk(x)
+            x = self.norm(x)
+            return self.head(x[:, 0])
+
+    return T2TViTTorch().eval()
+
+
+def test_t2t_torch_checkpoint_parity():
+    """import_t2t_torch must reproduce official-T2T logits exactly (fp32)."""
+    import torch
+
+    from edgevisiontransformer_tpu.models.t2t_vit import T2TViT
+    from edgevisiontransformer_tpu.utils.hf_import import import_t2t_torch
+
+    tm = _build_torch_t2t(variant=7, num_classes=10)
+    x = np.random.RandomState(0).randn(2, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+
+    cfg, variables = import_t2t_torch(tm.state_dict(), 7, num_classes=10)
+    assert cfg.qkv_bias is False and cfg.layernorm_eps == 1e-5
+    model = T2TViT(cfg)
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_t2t_apply_parity():
+    """Fast-stage1 tokenizer + resident fused encoder == module forward."""
+    from edgevisiontransformer_tpu.models.t2t_vit import (
+        fused_t2t_apply,
+        prepare_t2t_fused,
+    )
+
+    cfg = t2t_vit_config(7, "reference", num_classes=10)
+    model = T2TViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 224, 224))
+    v = model.init(jax.random.key(1), x)
+    ref = model.apply(v, x)
+    got = fused_t2t_apply(model, v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    prep = prepare_t2t_fused(model, v)
+    got2 = fused_t2t_apply(model, v, x, prep)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
