@@ -162,8 +162,12 @@ def swin_block_forward(
     n_pad = round_up(n, 8)
 
     if windows_per_program is None:
-        # bound the per-program fp32 score buffer (~[gm, n_pad, n_pad])
-        windows_per_program = max(1, (2 * 1024 * 1024) // (n_pad * n_pad * 4))
+        # Bound the per-program VMEM working set: x/out/qkv/hid activations
+        # (~18c bytes/row bf16 + fp32 epilogues) plus the fp32 score buffer.
+        # swin_base stage-3 at b32 (c=1024, 32 windows/program) exceeded the
+        # compiler's VMEM budget without this cap.
+        per_window = n_pad * (18 * c + 8 * n_pad)
+        windows_per_program = max(1, (24 * 1024 * 1024) // per_window)
     gm = max(1, min(windows_per_program, bw))
     while bw % gm != 0:
         gm -= 1

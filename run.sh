@@ -1,0 +1,120 @@
+#!/bin/bash
+# Run-book recipe library — the reference's shell-function dispatch pattern
+# (/root/reference/run.sh:5-120, are_16_heads/run.sh, deit_pruning/run.sh)
+# re-targeted at the TPU CLI.  Usage: ./run.sh <function> [extra CLI args...]
+#
+# Where the reference parameterized per-phone (serial/taskset/threads), the
+# TPU recipes parameterize per-implementation (xla / fused pallas / int8)
+# and per-batch; protocol knobs (iters/repeats) mirror num_runs/warmup_runs.
+
+set -e
+TASK=$1
+OPTIONS="${@:2}"
+CLI="python -m edgevisiontransformer_tpu.cli"
+VIT_MODELS=${VIT_MODELS:-"deit_tiny deit_small deit_base swin_tiny t2t_vit_7 t2t_vit_14"}
+CNN_MODELS=${CNN_MODELS:-"mobilenet_v2 mobilenet_v3_large efficientnet_b0 resnet50 inception_v3 inception_resnet_v2"}
+
+# --- latency benchmarks (reference mobile_benchmark_* loops) ----------------
+
+function benchmark_b1() {
+    for model in $VIT_MODELS; do
+        echo "********************" && echo "$model"
+        $CLI benchmark --model "$model" --batch 1 --iters 200 --repeats 5 \
+            --kernel-mode fused $OPTIONS
+    done
+}
+
+function benchmark_serving() {
+    for model in $VIT_MODELS; do
+        echo "********************" && echo "$model"
+        $CLI benchmark --model "$model" --batch 64 --iters 30 --repeats 3 \
+            --kernel-mode fused $OPTIONS
+    done
+}
+
+function benchmark_cnn() {
+    for model in $CNN_MODELS; do
+        echo "********************" && echo "$model"
+        $CLI benchmark --model "$model" --batch 1 --iters 100 --repeats 3 $OPTIONS
+    done
+}
+
+function benchmark_int8() {
+    for model in deit_tiny deit_small deit_base; do
+        echo "********************" && echo "$model int8"
+        $CLI benchmark --model "$model" --batch 1 --iters 100 --repeats 5 \
+            --kernel-mode int8 $OPTIONS
+    done
+}
+
+function benchmark_pruned_grid() {
+    # reference PruneBenchmark grid (experiments.py:150-204)
+    $CLI experiments prune_grid --size tiny | while read -r enc; do
+        echo "********************" && echo "$enc"
+        $CLI benchmark --model "pruned_deit_tiny@$enc" --batch 1 \
+            --iters 150 --repeats 3 --kernel-mode fused $OPTIONS
+    done
+}
+
+function full_sweep() {
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py bench_sweep_r2.jsonl
+    python tools/make_benchmarks_md.py bench_sweep_r2.jsonl BENCHMARKS.md
+}
+
+# --- profiling (reference --enable_op_profiling + analyse.py) ---------------
+
+function profile_deit() {
+    $CLI profile --model deit_tiny --output profile_deit_tiny.csv $OPTIONS
+    $CLI analyse_op --file profile_deit_tiny.csv
+    $CLI analyse_attn_ffn --file profile_deit_tiny.csv
+    $CLI analyse_gelu_ln --file profile_deit_tiny.csv
+}
+
+# --- pruning (are_16_heads/run.sh recipes) -----------------------------------
+
+function iterative_prune() {
+    # importance -> policy -> slice -> retrain -> eval per level
+    # (run_classifier.py --do_prune). Needs IMAGENET_DIR.
+    $CLI prune_heads --model deit_tiny --data-dir "$IMAGENET_DIR" \
+        --prune-percent 10 20 30 40 50 --retrain-steps 100 --eval \
+        --output pruned_models/deit_tiny_are16heads $OPTIONS
+}
+
+function prune_hybrid() {
+    # pytorch_prune hybrid recipe (pruner.py:85-103)
+    $CLI prune --model deit_tiny --func hybrid --amount 0.5 \
+        --output pruned_models/deit_tiny_hybrid_0.5 $OPTIONS
+}
+
+# --- sparse movement training (deit_pruning/run.sh recipes) ------------------
+
+function sparse_train_tiny() {
+    $CLI sparse_train --model deit_tiny \
+        --preset topk-hybrid-struct-layerwise-tiny \
+        --data-dir "$IMAGENET_DIR" --steps 2000 --batch 64 \
+        --final-finetune-steps 200 \
+        --output sparse_models/deit_tiny_topk_hybrid $OPTIONS
+}
+
+function finetune_tiny() {
+    $CLI finetune --model deit_tiny --data-dir "$IMAGENET_DIR" \
+        --optimizer sgd --epochs 1 --batch 64 --lr-scale-batch 512 \
+        --resume-dir checkpoints/deit_tiny_ft \
+        --output checkpoints/deit_tiny_ft/final $OPTIONS
+}
+
+# --- latency predictor (deit_pruning get_latency.py recipe) ------------------
+
+function latency_predictor() {
+    $CLI latency_model collect --size tiny --n 60 --output latency_tiny.csv
+    $CLI latency_model fit --data latency_tiny.csv --output latency_tiny.pkl
+    $CLI latency_model predict --predictor latency_tiny.pkl \
+        --encoding "h_2_d_0.5-h_2_d_0.5-h_1_d_0.3-h_1_d_0.3-h_3_d_0.7-h_2_d_0.5-h_2_d_0.5-h_1_d_1.0-h_1_d_0.3-h_2_d_0.3-h_3_d_1.0-h_1_d_0.5"
+}
+
+if [ -z "$TASK" ] || ! declare -f "$TASK" > /dev/null; then
+    echo "usage: ./run.sh <task> [extra args]"
+    echo "tasks:"; declare -F | awk '{print "  " $3}'
+    exit 1
+fi
+$TASK

@@ -17,11 +17,22 @@ PEAK_BF16 = 197e12
 
 def model_flops(name: str):
     base = name.replace("_xla", "").replace("_fullfused", "").replace("_pallas", "")
-    for suffix in ("_fused",):
+    for suffix in ("_fused", "_int8"):
         base = base.replace(suffix, "")
     if base.startswith("pruned_deit_"):
         rest = base[len("pruned_deit_"):]
         size, _, enc = rest.partition("@")
+        if enc.startswith("layerwise_"):
+            # average the per-layer (heads, density) settings
+            toks = enc[len("layerwise_"):].split("_")
+            pairs = [t.split("-") for t in toks]
+            total = 0.0
+            for h, d in pairs:
+                total += pruned_deit_flops(
+                    size, int(h.replace("h", "")),
+                    1.0 - float(d.replace("d", "")),
+                ) / len(pairs)
+            return total
         toks = enc.split("_")
         heads = int(toks[1].replace("head", ""))
         ffn_keep = float(toks[2].replace("ffn", ""))
@@ -71,11 +82,14 @@ def main(*paths):
     ]
     for d in rows:
         name = d["name"]
-        impl = "fused" if d.get("fused") or "fused" in name else "xla"
+        impl = d.get("impl") or ("fused" if d.get("fused") or "fused" in name
+                                 else "xla")
         if "pallas" in name:
             impl = "pallas-window"
         if "fullfused" in name:
             impl = "full-kernel"
+        if "int8" in name:
+            impl = "int8"
         fl = model_flops(name)
         if fl:
             sol = (fl * d["batch"] / (d["ms"] / 1e3)) / PEAK_BF16
@@ -91,7 +105,8 @@ def main(*paths):
     if errors:
         lines += ["", "## Errors", ""]
         for e in errors:
-            lines.append(f"- `{e.get('name')}` b{e.get('batch')}: {e['error']}")
+            msg = str(e["error"]).splitlines()[0][:200]
+            lines.append(f"- `{e.get('name')}` b{e.get('batch')}: {msg}")
 
     for key in ("quant_op_sweep", "fusion_ab", "micro_models_b1", "micro_models_b128"):
         if key in extras:
