@@ -10,6 +10,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array, eps: float) -> jax.Array:
@@ -59,23 +60,23 @@ def patch_embed(
     p = patch_size
     gh, gw = hh // p, ww // p
     if c <= 4 and p >= 8:
-        # Per-channel decomposition: the direct rearrange puts the size-c
+        # Space-to-depth ordering: the direct rearrange puts the size-c
         # channel dim minor, and a 3-wide lane dim wastes 125/128 of every
-        # relayout op (measured 20.0 us for [1,3,224,224] p16 on v5e vs
-        # 13.5 us this way; p=4 regresses — 30.8 vs 21.1 — because the
-        # per-channel [gh,4,gw,4] transposes dominate, hence the p>=8 gate).
-        # y = sum_c P_c @ W_c with W_c = w[ci::c]
-        # (w rows are ordered (p1, p2, c) with c minor).
-        acc = None
+        # relayout op (measured 20.0 us for [1,3,224,224] p16 on v5e).  The
+        # (c, p1, p2) ordering relayouts fast (9.9 us incl. matmul); the
+        # weight rows are permuted to match (p=4 regresses — its s2d form
+        # measured 21.6 us vs 21.1 direct — hence the p>=8 gate).
+        idx = np.empty(c * p * p, np.int64)
         for ci in range(c):
-            pc = img[:, ci].reshape(b_, gh, p, gw, p)
-            pc = jnp.transpose(pc, (0, 1, 3, 2, 4)).reshape(b_, gh * gw, p * p)
-            part = jax.lax.dot_general(
-                pc, w[ci::c], (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = part if acc is None else acc + part
-        y = acc.astype(img.dtype)
+            for dy in range(p):
+                for dx in range(p):
+                    idx[ci * p * p + dy * p + dx] = (dy * p + dx) * c + ci
+        x = img.reshape(b_, c, gh, p, gw, p)
+        x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(b_, gh * gw, c * p * p)
+        y = jax.lax.dot_general(
+            x, w[idx], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(img.dtype)
     else:
         # b c (gh p1) (gw p2) -> b (gh gw) (p1 p2 c)
         x = img.reshape(b_, c, gh, p, gw, p)

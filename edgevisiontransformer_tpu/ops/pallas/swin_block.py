@@ -128,6 +128,90 @@ def _swin_block_kernel(
     o_ref[:] = (mlp_out + x.astype(jnp.float32)).astype(dtype)
 
 
+def _swin_block_kernel_blocked(
+    x_ref,
+    ln1_g, ln1_b, qkv_w, qkv_b, proj_w, proj_b,
+    ln2_g, ln2_b, fc1_w, fc1_b, fc2_w, fc2_b,
+    bias_ref, mask_ref,
+    o_ref,
+    x_scratch,      # [gm*n_pad, C] post-attention activations
+    macc,           # [gm*n_pad, C] fp32 MLP accumulator
+    *,
+    gm: int,
+    n_pad: int,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    scale: float,
+    approx_gelu: bool,
+    use_mask: bool,
+):
+    """MLP-weight-streaming variant: grid (window_groups, S).  The attention
+    sublayer runs at substage 0; fc1/fc2 stream in S hidden-dim chunks that
+    Mosaic double-buffers — for big-dim stages (swin_tiny stage 3: 14 MB of
+    weights) the unblocked kernel serializes a ~17 us weight DMA before any
+    compute."""
+    si = pl.program_id(1)
+    n_sub = pl.num_programs(1)
+    hd = head_dim
+    pn = n_pad
+
+    @pl.when(si == 0)
+    def _():
+        x = x_ref[:]
+        dtype = x.dtype
+        h = _ln(x, ln1_g[0], ln1_b[0], eps).astype(dtype)
+        qkv = (
+            jax.lax.dot(h, qkv_w[:], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + qkv_b[0]
+        )
+        outs = []
+        for i in range(heads):
+            q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd].reshape(gm, pn, hd)
+            k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd].reshape(gm, pn, hd)
+            v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd].reshape(gm, pn, hd)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale + bias_ref[i][None]
+            if use_mask:
+                s = s + mask_ref[:]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            r = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            o = o * pl.reciprocal(r, approx=False)
+            outs.append(o.astype(dtype).reshape(gm * pn, hd))
+        att = jnp.concatenate(outs, axis=-1)
+        attn_out = (
+            jax.lax.dot(att, proj_w[:], preferred_element_type=jnp.float32)
+            + proj_b[0].astype(jnp.float32)
+        )
+        x_scratch[:] = (attn_out + x.astype(jnp.float32)).astype(dtype)
+        macc[:] = jnp.zeros_like(macc) + fc2_b[0].astype(jnp.float32)
+
+    x = x_scratch[:]
+    dtype = x.dtype
+    h2 = _ln(x, ln2_g[0], ln2_b[0], eps).astype(dtype)
+    hid = (
+        jax.lax.dot(h2, fc1_w[:], preferred_element_type=jnp.float32)
+        .astype(dtype)
+        + fc1_b[0]
+    )
+    hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+    macc[:] = macc[:] + jax.lax.dot(hid, fc2_w[:],
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(si == n_sub - 1)
+    def _():
+        o_ref[:] = (macc[:] + x.astype(jnp.float32)).astype(dtype)
+
+
 def _padded_bias(bias_hnn: jax.Array, n: int, n_pad: int) -> jax.Array:
     """[H, n, n] -> fp32 [H, n_pad, n_pad], padding cols masked, pre-scaled
     by log2(e) so the kernel's exp2 softmax needs no extra multiply."""
@@ -187,20 +271,87 @@ def swin_block_forward(
     def vec(a):  # [d] -> [1, d] so VMEM blocks are 2D
         return a.reshape(1, -1)
 
+    hidden = params["fc1_w"].shape[1]
+    mask_dims = (n_pad, n_pad) if use_mask else (1, 1)
+    flops = 2 * bw * n_pad * (
+        c * 3 * c + 2 * n_pad * head_dim * heads + c * c + 2 * c * hidden
+    )
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=int(
+            (bw * n_pad * c * 2 + c * 3 * c + c * c + 2 * c * hidden)
+            * xw.dtype.itemsize
+        ),
+        transcendentals=bw * n_pad * (n_pad * heads + hidden),
+    )
+    args = (
+        xp,
+        vec(params["ln1_g"]), vec(params["ln1_b"]),
+        params["qkv_w"], vec(params["qkv_b"]),
+        params["proj_w"], vec(params["proj_b"]),
+        vec(params["ln2_g"]), vec(params["ln2_b"]),
+        params["fc1_w"], vec(params["fc1_b"]),
+        params["fc2_w"], vec(params["fc2_b"]),
+        bias,
+        mask_g,
+    )
+    weight_bytes = (c * 3 * c + c * c + 2 * c * hidden) * xw.dtype.itemsize
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    if weight_bytes > 6 * 1024 * 1024 and hidden % 1024 == 0:
+        # MLP-weight-streaming path (see _swin_block_kernel_blocked): the fc
+        # chunks double-buffer against compute instead of one serial DMA.
+        chunk = 1024
+        n_sub = hidden // chunk
+        kernel = functools.partial(
+            _swin_block_kernel_blocked,
+            gm=gm, n_pad=n_pad, heads=heads, head_dim=head_dim,
+            eps=eps, scale=head_dim**-0.5 * _LOG2E, approx_gelu=approx_gelu,
+            use_mask=use_mask,
+        )
+        full2 = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bw // gm, n_sub),
+            in_specs=[
+                pl.BlockSpec((gm * n_pad, c), lambda gi, si: (gi, 0),
+                             memory_space=pltpu.VMEM),
+                full2(), full2(),   # ln1
+                full2(), full2(),   # qkv w/b
+                full2(), full2(),   # proj w/b
+                full2(), full2(),   # ln2
+                pl.BlockSpec((c, chunk), lambda gi, si: (0, si),
+                             memory_space=pltpu.VMEM),      # fc1 chunk
+                pl.BlockSpec((1, chunk), lambda gi, si: (0, si),
+                             memory_space=pltpu.VMEM),      # fc1_b chunk
+                pl.BlockSpec((chunk, c), lambda gi, si: (si, 0),
+                             memory_space=pltpu.VMEM),      # fc2 chunk
+                full2(),            # fc2_b
+                full2(),            # bias
+                pl.BlockSpec((gm,) + mask_dims, lambda gi, si: (gi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((gm * n_pad, c), lambda gi, si: (gi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bw * n_pad, c), xw.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((gm * n_pad, c), xw.dtype),
+                pltpu.VMEM((gm * n_pad, c), jnp.float32),
+            ],
+            interpret=use_interpret(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=cost,
+        )(*args)
+        return out.reshape(bw, n_pad, c)[:, :n, :]
+
     kernel = functools.partial(
         _swin_block_kernel,
         gm=gm, n_pad=n_pad, heads=heads, head_dim=head_dim,
         eps=eps, scale=head_dim**-0.5 * _LOG2E, approx_gelu=approx_gelu,
         use_mask=use_mask,
     )
-
-    hidden = params["fc1_w"].shape[1]
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    mask_dims = (n_pad, n_pad) if use_mask else (1, 1)
-    flops = 2 * bw * n_pad * (
-        c * 3 * c + 2 * n_pad * head_dim * heads + c * c + 2 * c * hidden
-    )
-
     out = pl.pallas_call(
         kernel,
         grid=(bw // gm,),
@@ -224,23 +375,6 @@ def swin_block_forward(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=int(
-                (bw * n_pad * c * 2 + c * 3 * c + c * c + 2 * c * hidden)
-                * xw.dtype.itemsize
-            ),
-            transcendentals=bw * n_pad * (n_pad * heads + hidden),
-        ),
-    )(
-        xp,
-        vec(params["ln1_g"]), vec(params["ln1_b"]),
-        params["qkv_w"], vec(params["qkv_b"]),
-        params["proj_w"], vec(params["proj_b"]),
-        vec(params["ln2_g"]), vec(params["ln2_b"]),
-        params["fc1_w"], vec(params["fc1_b"]),
-        params["fc2_w"], vec(params["fc2_b"]),
-        bias,
-        mask_g,
-    )
+        cost_estimate=cost,
+    )(*args)
     return out.reshape(bw, n_pad, c)[:, :n, :]
