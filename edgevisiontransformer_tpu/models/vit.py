@@ -310,7 +310,7 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
             cfg.dim * inner + heads * cfg.resolved_head_dim * cfg.dim
             + 2 * cfg.dim * mlp_d
         )
-        bm_eff = min(max(1, (8 * 192 * 192) // (cfg.dim * cfg.dim)), img.shape[0])
+        bm_eff = min(max(1, (16 * 192 * 192) // (cfg.dim * cfg.dim)), img.shape[0])
         if (seg_depth * layer_bytes <= 12 * 1024 * 1024
                 and seg_depth * heads * bm_eff <= 72):
             # whole segment's weights fit VMEM and the in-kernel unroll stays

@@ -168,10 +168,9 @@ def encoder_forward(
     if batch_block is not None:
         bm = batch_block
     else:
-        # VMEM-scaled default: bm=8 fits DeiT-Tiny (dim 192); intermediates
-        # grow ~dim^2 so quarter as width doubles (measured: bm=4 at dim 384
-        # still overflows the 16 MB scoped vmem; bm=2 fits).
-        bm = max(1, (8 * 192 * 192) // (dim * dim))
+        # VMEM-scaled default (round-2 b128 sweep: tiny bm=16 28.1k img/s,
+        # bm=32 fails to compile; small bm=4 13.1k vs bm=8 11.0k; base bm=1).
+        bm = max(1, (16 * 192 * 192) // (dim * dim))
     bm = min(bm, b)
     b_pad = round_up(b, bm)
 
@@ -391,7 +390,7 @@ def encoder_forward_resident(
     if batch_block is not None:
         bm = batch_block
     else:
-        bm = max(1, (8 * 192 * 192) // (dim * dim))
+        bm = max(1, (16 * 192 * 192) // (dim * dim))
     bm = min(bm, b)
     b_pad = round_up(b, bm)
 
@@ -588,7 +587,7 @@ def encoder_forward_int8(
     if batch_block is not None:
         bm = batch_block
     else:
-        bm = max(1, (8 * 192 * 192) // (dim * dim))
+        bm = max(1, (16 * 192 * 192) // (dim * dim))
     bm = min(bm, b)
     b_pad = round_up(b, bm)
 
