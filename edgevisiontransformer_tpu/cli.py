@@ -73,8 +73,12 @@ def cmd_benchmark(argv):
     params = model.init(jax.random.key(0), x)
     extra = ()
     if args.kernel_mode == "int8":
-        from .models.vit import fused_vit_apply_int8, prepare_vit_int8
+        from .models.vit import ViT, fused_vit_apply_int8, prepare_vit_int8
 
+        if not isinstance(model, ViT):
+            raise SystemExit(
+                f"--kernel-mode int8 supports ViT/DeiT models only, not "
+                f"{type(model).__name__} ({args.model})")
         sq = prepare_vit_int8(model, params)
         fn = lambda p_, sq_, x_: fused_vit_apply_int8(model, p_, x_, sq_)
         extra = (sq,)
@@ -256,8 +260,11 @@ def cmd_eval(argv):
     elif args.impl == "int8_fused":
         from .models.vit import fused_vit_apply_int8, prepare_vit_int8
 
+        # bundle the quantized stack into the params pytree so evaluate()'s
+        # jit receives it as an argument, not a closed-over HLO constant
         sq = prepare_vit_int8(model, params)
-        apply_fn = lambda p_, x_: fused_vit_apply_int8(model, p_, x_, sq)
+        params = {"v": params, "sq": sq}
+        apply_fn = lambda p_, x_: fused_vit_apply_int8(model, p_["v"], x_, p_["sq"])
     else:
         apply_fn = model.apply
     acc = evaluate(apply_fn, params, args.data_dir, batch_size=args.batch,
@@ -545,10 +552,13 @@ def cmd_sparse_train(argv):
     params = model.init(jax.random.key(0), jnp.ones((1,) + in_shape))
     if args.checkpoint:
         params = load_checkpoint(args.checkpoint, params)
-    teacher_apply = None
+    teacher_apply = teacher_params = None
     if args.teacher_checkpoint:
-        tparams = load_checkpoint(args.teacher_checkpoint, params)
-        teacher_apply = lambda x: model.apply(tparams, x)
+        # teacher params thread through the jit step as an argument — a
+        # closure would embed them as HLO constants (CLAUDE.md: the remote
+        # compiler rejects >~300 MB bodies)
+        teacher_params = load_checkpoint(args.teacher_checkpoint, params)
+        teacher_apply = model.apply
 
     warmup = args.warmup_steps if args.warmup_steps is not None else max(
         1, args.steps // 10)
@@ -560,6 +570,7 @@ def cmd_sparse_train(argv):
     res = run_sparse_finetune(
         model.apply, cfg, params, sparse, batches, total_steps=args.steps,
         lr=args.lr, mask_lr=args.mask_lr, teacher_apply=teacher_apply,
+        teacher_params=teacher_params,
         do_compile=not args.no_compile,
         final_finetune_steps=args.final_finetune_steps,
     )
@@ -574,8 +585,15 @@ def cmd_sparse_train(argv):
                       if res.compiled_params is not None else res.params)
         meta = {"model": args.model, "preset": args.preset}
         if res.compiled_cfg is not None:
+            # The full config is the source of truth for reloading: a
+            # transitions-compiled checkpoint (norm_mode="nonorm"/act="relu")
+            # fed to a default-config model would silently re-normalize the
+            # affine-folded LN params.
+            meta["config"] = json.loads(res.compiled_cfg.to_json())
             meta["heads_per_layer"] = list(res.compiled_cfg.heads_per_layer or [])
             meta["mlp_dim_per_layer"] = list(res.compiled_cfg.mlp_dim_per_layer or [])
+            meta["norm_mode"] = res.compiled_cfg.norm_mode
+            meta["act"] = res.compiled_cfg.act
         save_checkpoint(args.output, out_params, meta=meta)
         print(f"saved -> {args.output}")
 

@@ -271,6 +271,14 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     )
 
     cfg = model.config
+    if cfg.norm_mode != "layernorm" or cfg.act != "gelu":
+        # transitions-compiled (NoNorm / ReLU) models: the kernels compute
+        # real LayerNorm + GELU — refuse loudly rather than silently
+        # re-normalizing affine-folded params
+        raise ValueError(
+            "fused encoder supports norm_mode='layernorm' + act='gelu' only; "
+            f"got norm_mode={cfg.norm_mode!r}, act={cfg.act!r} (use model.apply)"
+        )
     p = variables["params"]
 
     img = img.astype(cfg.dtype)
@@ -310,7 +318,11 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
             cfg.dim * inner + heads * cfg.resolved_head_dim * cfg.dim
             + 2 * cfg.dim * mlp_d
         )
-        bm_eff = min(max(1, (16 * 192 * 192) // (cfg.dim * cfg.dim)), img.shape[0])
+        from ..ops.pallas.common import default_batch_block
+
+        bm_eff = (batch_block if batch_block is not None
+                  else default_batch_block(cfg.dim))
+        bm_eff = min(bm_eff, img.shape[0])
         if (seg_depth * layer_bytes <= 12 * 1024 * 1024
                 and seg_depth * heads * bm_eff <= 72):
             # whole segment's weights fit VMEM and the in-kernel unroll stays
@@ -365,6 +377,11 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
     float, like the reference's dynamic mode.
     """
     cfg = model.config
+    if cfg.norm_mode != "layernorm" or cfg.act != "gelu":
+        raise ValueError(
+            "int8 fused encoder supports norm_mode='layernorm' + act='gelu' "
+            f"only; got norm_mode={cfg.norm_mode!r}, act={cfg.act!r}"
+        )
     if cfg.heads_per_layer is not None and len(set(cfg.heads_per_layer)) != 1:
         raise ValueError("int8 fused encoder requires uniform per-layer heads")
     if cfg.mlp_dim_per_layer is not None and len(set(cfg.mlp_dim_per_layer)) != 1:

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import round_up, use_interpret
+from .common import default_batch_block, round_up, use_interpret
 from .mathlib import gelu_kernel
 
 
@@ -44,6 +44,36 @@ def _ln(x, g, b, eps):
     return (xf - mean) * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32) + b.astype(
         jnp.float32
     )
+
+
+def _attention_rows(qkv, *, bm, n_pad, heads, head_dim, key_mask, scale, dtype):
+    """Per-(image, head) exp2-softmax attention over the fused qkv columns.
+
+    Shared by the streamed / resident / int8 encoder kernels so numerics
+    fixes cannot diverge between copies.  exp2 with log2(e) folded into
+    ``scale``; normalization deferred past PV (divide on [n_pad, hd]) —
+    the VPU-wall optimizations measured in swin_block.py.
+    """
+    hd = head_dim
+    att_rows = []
+    for j in range(bm):
+        row0 = j * n_pad
+        parts = []
+        for i in range(heads):
+            q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
+            k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
+            v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * (scale * 1.4426950408889634)
+            s = jnp.where(key_mask, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            r = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
+            parts.append(o * pl.reciprocal(r, approx=False))
+        att_rows.append(jnp.concatenate(parts, axis=-1))
+    return jnp.concatenate(att_rows, axis=0).astype(dtype)
 
 
 def _encoder_kernel(
@@ -86,26 +116,9 @@ def _encoder_kernel(
     # exp2 softmax with log2(e) folded into the score scale, normalization
     # deferred past PV (divide on [n_pad, hd] instead of [n_pad, n_pad]) —
     # same VPU-wall optimizations as ops/pallas/swin_block.py.
-    hd = head_dim
-    att_rows = []
-    for j in range(bm):
-        row0 = j * n_pad
-        att_parts = []
-        for i in range(heads):
-            q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
-            k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
-            v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * (scale * 1.4426950408889634)
-            s = jnp.where(key_mask, s, -1e30)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
-            r = jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
-            att_parts.append(o * pl.reciprocal(r, approx=False))
-        att_rows.append(jnp.concatenate(att_parts, axis=-1))
-    att = jnp.concatenate(att_rows, axis=0).astype(dtype)  # [bm*n_pad, h*hd]
+    att = _attention_rows(qkv, bm=bm, n_pad=n_pad, heads=heads,
+                          head_dim=head_dim, key_mask=key_mask, scale=scale,
+                          dtype=dtype)
 
     attn_out = (
         jax.lax.dot(att, out_w_ref[0], preferred_element_type=jnp.float32)
@@ -168,9 +181,7 @@ def encoder_forward(
     if batch_block is not None:
         bm = batch_block
     else:
-        # VMEM-scaled default (round-2 b128 sweep: tiny bm=16 28.1k img/s,
-        # bm=32 fails to compile; small bm=4 13.1k vs bm=8 11.0k; base bm=1).
-        bm = max(1, (16 * 192 * 192) // (dim * dim))
+        bm = default_batch_block(dim)
     bm = min(bm, b)
     b_pad = round_up(b, bm)
 
@@ -326,27 +337,9 @@ def _encoder_kernel_resident(
             .astype(dtype)
             + qkv_b[li]
         )
-        att_rows = []
-        for j in range(bm):
-            row0 = j * n_pad
-            parts = []
-            for i in range(heads):
-                q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
-                k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
-                v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * (scale * 1.4426950408889634)
-                s = jnp.where(key_mask, s, -1e30)
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp2(s - m)
-                r = jnp.sum(p, axis=-1, keepdims=True)
-                o = jax.lax.dot(p.astype(dtype), v,
-                                preferred_element_type=jnp.float32)
-                parts.append(o * pl.reciprocal(r, approx=False))
-            att_rows.append(jnp.concatenate(parts, axis=-1))
-        att = jnp.concatenate(att_rows, axis=0).astype(dtype)
+        att = _attention_rows(qkv, bm=bm, n_pad=n_pad, heads=heads,
+                              head_dim=head_dim, key_mask=key_mask,
+                              scale=scale, dtype=dtype)
 
         attn_out = (
             jax.lax.dot(att, out_w[li], preferred_element_type=jnp.float32)
@@ -390,7 +383,7 @@ def encoder_forward_resident(
     if batch_block is not None:
         bm = batch_block
     else:
-        bm = max(1, (16 * 192 * 192) // (dim * dim))
+        bm = default_batch_block(dim)
     bm = min(bm, b)
     b_pad = round_up(b, bm)
 
@@ -504,26 +497,9 @@ def _encoder_kernel_int8(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
     key_mask = col < seq_len
-    hd = head_dim
-    att_rows = []
-    for j in range(bm):
-        row0 = j * n_pad
-        att_parts = []
-        for i in range(heads):
-            q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
-            k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
-            v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * (scale * 1.4426950408889634)
-            s = jnp.where(key_mask, s, -1e30)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
-            r = jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
-            att_parts.append(o * pl.reciprocal(r, approx=False))
-        att_rows.append(jnp.concatenate(att_parts, axis=-1))
-    att = jnp.concatenate(att_rows, axis=0).astype(dtype)
+    att = _attention_rows(qkv, bm=bm, n_pad=n_pad, heads=heads,
+                          head_dim=head_dim, key_mask=key_mask, scale=scale,
+                          dtype=dtype)
 
     attn_out = _int8_mm(att, out_w_ref, out_s_ref) + out_b_ref[0].astype(jnp.float32)
     if reference_residual:
@@ -587,7 +563,7 @@ def encoder_forward_int8(
     if batch_block is not None:
         bm = batch_block
     else:
-        bm = max(1, (16 * 192 * 192) // (dim * dim))
+        bm = default_batch_block(dim)
     bm = min(bm, b)
     b_pad = round_up(b, bm)
 
@@ -701,27 +677,9 @@ def _encoder_kernel_blocked(
         )
         col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
         key_mask = col < seq_len
-        hd = head_dim
-        att_rows = []
-        for j in range(bm):
-            row0 = j * n_pad
-            parts = []
-            for i in range(heads):
-                q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
-                k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
-                v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-                ) * (scale * 1.4426950408889634)
-                s = jnp.where(key_mask, s, -1e30)
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp2(s - m)
-                r = jnp.sum(p, axis=-1, keepdims=True)
-                o = jax.lax.dot(p.astype(dtype), v,
-                                preferred_element_type=jnp.float32)
-                parts.append(o * pl.reciprocal(r, approx=False))
-            att_rows.append(jnp.concatenate(parts, axis=-1))
-        att = jnp.concatenate(att_rows, axis=0).astype(dtype)
+        att = _attention_rows(qkv, bm=bm, n_pad=n_pad, heads=heads,
+                              head_dim=head_dim, key_mask=key_mask,
+                              scale=scale, dtype=dtype)
         attn_out = (
             jax.lax.dot(att, out_w_ref[0], preferred_element_type=jnp.float32)
             + out_b_ref[0].astype(jnp.float32)

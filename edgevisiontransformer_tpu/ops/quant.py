@@ -87,6 +87,25 @@ def fake_quant_tree(params, min_ndim: int = 2):
     )
 
 
+def fake_quant_vit_encoder(params):
+    """QAT fake-quant restricted to the matmul kernels the int8 deployment
+    paths actually quantize (_VIT_MATMUL_KEYS — encoder_forward_int8 /
+    int8_vit_apply keep embeddings and heads float, so quantizing them in
+    training would optimize against noise absent at deployment)."""
+    had_wrapper = "params" in params
+    p = dict(params["params"] if had_wrapper else params)
+    for name in list(p):
+        if not name.startswith("block_"):
+            continue
+        blk = dict(p[name])
+        for sub, key in _VIT_MATMUL_KEYS:
+            sd = dict(blk[sub])
+            sd[key] = fake_quant_ste(sd[key])
+            blk[sub] = sd
+        p[name] = blk
+    return {"params": p} if had_wrapper else p
+
+
 def quantize_activation_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-row dynamic activation quant: x [m, k] -> (q int8, scale [m, 1])."""
     absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)

@@ -112,12 +112,18 @@ def run_sparse_finetune(
     lr: float = 5e-5,
     mask_lr: float = 1e-2,
     teacher_apply: Optional[Callable] = None,
+    teacher_params=None,
     do_compile: bool = True,
     final_finetune_steps: int = 0,
     seed: int = 0,
     log: Callable[[str], None] = print,
 ) -> SparseRunResult:
-    """Full sparse run: train masks+weights, then compile to static shapes."""
+    """Full sparse run: train masks+weights, then compile to static shapes.
+
+    With ``teacher_params``, teacher_apply is (teacher_params, images) -> logits
+    and the teacher tree threads through the jit step as an argument (never
+    close a real teacher over the step — HLO-constant bloat, CLAUDE.md).
+    """
     scores = init_mask_scores(cfg, sparse, jax.random.key(seed))
     opt_p = optax.adamw(lr)
     opt_s = optax.adam(mask_lr)  # mask-lr group (patch_coordinator.py:669-704)
@@ -134,10 +140,12 @@ def run_sparse_finetune(
 
         ln_acc = init_ln_accumulators(cfg)
         step_fn = jax.jit(make_sparse_train_step_transitions(
-            cfg, sparse, opt_p, opt_s, teacher_apply))
+            cfg, sparse, opt_p, opt_s, teacher_apply,
+            with_teacher_params=teacher_params is not None))
     else:
         step_fn = jax.jit(make_sparse_train_step(
-            model_apply, cfg, sparse, opt_p, opt_s, teacher_apply))
+            model_apply, cfg, sparse, opt_p, opt_s, teacher_apply,
+            with_teacher_params=teacher_params is not None))
 
     st_p = opt_p.init(params)
     st_s = opt_s.init(scores)
@@ -156,12 +164,14 @@ def run_sparse_finetune(
                     params, scores, ln_acc, st_p, st_s,
                     jnp.asarray(images), jnp.asarray(labels),
                     jnp.asarray(thr), jnp.asarray(regu_mul), tmix,
+                    teacher_params,
                 )
             else:
                 params, scores, st_p, st_s, metrics = step_fn(
                     params, scores, st_p, st_s,
                     jnp.asarray(images), jnp.asarray(labels),
                     jnp.asarray(thr), jnp.asarray(regu_mul),
+                    teacher_params,
                 )
             step += 1
             if step % 10 == 0:

@@ -57,33 +57,45 @@ def make_sparse_train_step(
     opt_params: optax.GradientTransformation,
     opt_scores: optax.GradientTransformation,
     teacher_apply: Optional[Callable] = None,
+    with_teacher_params: bool = False,
 ):
     """Returns jittable step(params, scores, opt_p, opt_s, images, labels,
-    thresholds[depth,2], regu_mul) -> (params, scores, opt_p, opt_s, metrics).
+    thresholds[depth,2], regu_mul[, teacher_params]) ->
+    (params, scores, opt_p, opt_s, metrics).
+
+    ``with_teacher_params``: teacher_apply takes (teacher_params, images) and
+    the step gains a trailing teacher_params argument — REQUIRED for real
+    teacher models: a closure over the teacher tree would embed every weight
+    as an HLO constant in the jitted step (the remote compiler rejects
+    >~300 MB bodies, see CLAUDE.md).  The closure form (teacher_apply(images))
+    remains for small tests.
     """
 
-    def loss_fn(params, scores, images, labels, thresholds, regu_mul):
+    def loss_fn(params, scores, images, labels, thresholds, regu_mul, tparams):
         thr_list = [(thresholds[i, 0], thresholds[i, 1]) for i in range(cfg.depth)]
         masked = apply_masks(cfg, params, scores, thr_list, sparse)
         if sparse.qat:
-            from ..ops.quant import fake_quant_tree
+            from ..ops.quant import fake_quant_vit_encoder
 
-            masked = fake_quant_tree(masked)
+            masked = fake_quant_vit_encoder(masked)
         logits = apply_fn(masked, images)
         ce = cross_entropy(logits, labels)
         loss = ce
         if teacher_apply is not None:
-            t_logits = jax.lax.stop_gradient(teacher_apply(images))
+            t_logits = teacher_apply(tparams, images) if with_teacher_params \
+                else teacher_apply(images)
+            t_logits = jax.lax.stop_gradient(t_logits)
             loss = distillation_loss(
                 logits, t_logits, ce, sparse.distil_alpha, sparse.distil_temperature
             )
         regu = regularization_loss(scores, sparse, regu_mul)
         return loss + regu, {"ce": ce, "loss": loss, "regu": regu}
 
-    def step(params, scores, opt_p, opt_s, images, labels, thresholds, regu_mul):
+    def step(params, scores, opt_p, opt_s, images, labels, thresholds,
+             regu_mul, teacher_params=None):
         (_, metrics), (gp, gs) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
-        )(params, scores, images, labels, thresholds, regu_mul)
+        )(params, scores, images, labels, thresholds, regu_mul, teacher_params)
         up, opt_p = opt_params.update(gp, opt_p, params)
         params = optax.apply_updates(params, up)
         us, opt_s = opt_scores.update(gs, opt_s, scores)
@@ -99,6 +111,7 @@ def make_sparse_train_step_transitions(
     opt_params: optax.GradientTransformation,
     opt_scores: optax.GradientTransformation,
     teacher_apply: Optional[Callable] = None,
+    with_teacher_params: bool = False,
 ):
     """Sparse step with LayerNorm->NoNorm / GeLU->ReLU transitions active
     (preset layer_norm_patch / gelu_patch; pruning/transitions.py).
@@ -112,13 +125,14 @@ def make_sparse_train_step_transitions(
     """
     from .transitions import vit_forward_transitions
 
-    def loss_fn(params, scores, ln_acc, images, labels, thresholds, regu_mul, tmix):
+    def loss_fn(params, scores, ln_acc, images, labels, thresholds, regu_mul,
+                tmix, tparams):
         thr_list = [(thresholds[i, 0], thresholds[i, 1]) for i in range(cfg.depth)]
         masked = apply_masks(cfg, params, scores, thr_list, sparse)
         if sparse.qat:
-            from ..ops.quant import fake_quant_tree
+            from ..ops.quant import fake_quant_vit_encoder
 
-            masked = fake_quant_tree(masked)
+            masked = fake_quant_vit_encoder(masked)
         logits, new_acc = vit_forward_transitions(
             cfg, masked, images, ln_acc, tmix[0], tmix[1], tmix[2],
             ln_patch=sparse.layer_norm_patch, gelu_patch=sparse.gelu_patch,
@@ -128,7 +142,9 @@ def make_sparse_train_step_transitions(
         ce = cross_entropy(logits, labels)
         loss = ce
         if teacher_apply is not None:
-            t_logits = jax.lax.stop_gradient(teacher_apply(images))
+            t_logits = teacher_apply(tparams, images) if with_teacher_params \
+                else teacher_apply(images)
+            t_logits = jax.lax.stop_gradient(t_logits)
             loss = distillation_loss(
                 logits, t_logits, ce, sparse.distil_alpha, sparse.distil_temperature
             )
@@ -136,10 +152,11 @@ def make_sparse_train_step_transitions(
         return loss + regu, ({"ce": ce, "loss": loss, "regu": regu}, new_acc)
 
     def step(params, scores, ln_acc, opt_p, opt_s, images, labels,
-             thresholds, regu_mul, tmix):
+             thresholds, regu_mul, tmix, teacher_params=None):
         (_, (metrics, new_acc)), (gp, gs) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
-        )(params, scores, ln_acc, images, labels, thresholds, regu_mul, tmix)
+        )(params, scores, ln_acc, images, labels, thresholds, regu_mul, tmix,
+          teacher_params)
         up, opt_p = opt_params.update(gp, opt_p, params)
         params = optax.apply_updates(params, up)
         us, opt_s = opt_scores.update(gs, opt_s, scores)

@@ -285,3 +285,76 @@ def test_prune_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     rep = json.loads(out.strip().splitlines()[-1])
     assert rep["overall_sparsity"] > 0.2
+
+
+def test_fused_paths_reject_transition_configs():
+    """Transitions-compiled models (NoNorm/ReLU) must not silently run
+    through the fused kernels, which hardcode LayerNorm+GELU."""
+    import pytest as _pytest
+
+    from edgevisiontransformer_tpu.models.vit import (
+        fused_vit_apply,
+        fused_vit_apply_int8,
+    )
+
+    cfg = _tiny_cfg(norm_mode="nonorm", act="relu")
+    model = ViT(cfg)
+    x = jnp.ones((1, 3, 32, 32))
+    v = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    with _pytest.raises(ValueError, match="norm_mode"):
+        fused_vit_apply(model, v, x)
+    with _pytest.raises(ValueError, match="norm_mode"):
+        fused_vit_apply_int8(model, v, x, stacked_q={})
+
+
+def test_sparse_train_cli_saves_transition_config(tmp_path):
+    """A transitions preset run through the CLI must persist norm_mode/act in
+    the checkpoint meta (reloading with a default config would silently
+    re-normalize the affine-folded LN params)."""
+    import json as _json
+
+    from edgevisiontransformer_tpu.cli import main
+
+    preset = {
+        "attention_pruning_method": "topK",
+        "dense_pruning_method": "topK:1d_alt",
+        "initial_threshold": 1.0, "final_threshold": 0.5,
+        "initial_warmup": 1, "final_warmup": 1,
+        "layer_norm_patch": True, "layer_norm_patch_steps": 4,
+        "gelu_patch": True, "gelu_patch_steps": 4,
+    }
+    ppath = tmp_path / "p.json"
+    ppath.write_text(_json.dumps(preset))
+    out = tmp_path / "ckpt"
+    assert main([
+        "sparse_train", "--model", "deit_tiny", "--synthetic", "2",
+        "--batch", "2", "--steps", "4", "--warmup-steps", "2",
+        "--preset", str(ppath), "--output", str(out),
+    ]) == 0
+    meta = _json.loads((out / "meta.json").read_text())
+    assert meta["norm_mode"] == "nonorm" and meta["act"] == "relu"
+    assert meta["config"]["norm_mode"] == "nonorm"
+
+
+def test_qat_fake_quant_targets_encoder_only():
+    """fake_quant_vit_encoder must touch exactly the kernels the int8
+    deployment path quantizes — embeddings/head stay exact."""
+    from edgevisiontransformer_tpu.ops.quant import fake_quant_vit_encoder
+
+    cfg = _tiny_cfg()
+    model = ViT(cfg)
+    v = model.init(jax.random.key(0), jnp.ones((1, 3, 32, 32)))
+    q = fake_quant_vit_encoder(v)
+    p, qp = v["params"], q["params"]
+    # untouched: embeddings + head
+    np.testing.assert_array_equal(np.asarray(p["pos_embedding"]),
+                                  np.asarray(qp["pos_embedding"]))
+    np.testing.assert_array_equal(np.asarray(p["patch_kernel"]),
+                                  np.asarray(qp["patch_kernel"]))
+    # quantized: encoder matmuls (values change, land on int8 grid)
+    w0 = np.asarray(p["block_0"]["attn"]["qkv_kernel"])
+    wq = np.asarray(qp["block_0"]["attn"]["qkv_kernel"])
+    assert not np.array_equal(w0, wq)
+    scale = np.abs(w0).max(axis=0) / 127.0
+    steps = wq / scale[None, :]
+    np.testing.assert_allclose(steps, np.round(steps), atol=1e-3)
