@@ -309,9 +309,9 @@ def _performer_rest(x_kqv, p, consts, cfg, emb: int):
 def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
                     prepared: dict | None = None) -> jax.Array:
     """T2T forward with the fast stage-1 tokenizer and the fused
-    (weights-resident) Pallas encoder.  Same params as ``model.apply``."""
+    (DMA-pipelined) Pallas encoder.  Same params as ``model.apply``."""
     from ..ops.pallas.fused_encoder import (
-        encoder_forward_resident,
+        encoder_forward_pipelined,
         stack_vit_layer_params,
     )
 
@@ -358,7 +358,7 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
 
     stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
     stacked = jax.tree.map(lambda a: a.astype(dt), stacked)
-    x = encoder_forward_resident(
+    x = encoder_forward_pipelined(
         x, stacked, heads=cfg.heads, head_dim=cfg.resolved_head_dim,
         eps=cfg.layernorm_eps, reference_residual=cfg.reference_residual,
         approx_gelu=cfg.gelu_approx,

@@ -266,7 +266,7 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     from ..ops.pallas.fused_encoder import (
         encoder_forward,
         encoder_forward_blocked,
-        encoder_forward_resident,
+        encoder_forward_pipelined,
         stack_vit_layer_params,
     )
 
@@ -323,16 +323,31 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
         bm_eff = (batch_block if batch_block is not None
                   else default_batch_block(cfg.dim))
         bm_eff = min(bm_eff, img.shape[0])
-        if (seg_depth * layer_bytes <= 12 * 1024 * 1024
-                and seg_depth * heads * bm_eff <= 72):
-            # whole segment's weights fit VMEM and the in-kernel unroll stays
-            # bounded: no per-layer grid steps (saves ~1.5 us/layer of step
-            # overhead — the b1 win for tiny/pruned shapes; large batches
-            # keep the streamed variant, whose unroll is per-layer)
-            x = encoder_forward_resident(x, stacked, heads=heads, **base_kw)
+        # 2 layers of (lane-128-padded) weights must fit VMEM for the
+        # double-buffered pipelined kernel
+        inner_p = -(-inner // 128) * 128
+        dim_p = -(-cfg.dim // 128) * 128
+        mlp_p = -(-mlp_d // 128) * 128
+        wb2p = 2 * itemsize * (cfg.dim * inner_p
+                               + heads * cfg.resolved_head_dim * dim_p
+                               + cfg.dim * mlp_p + mlp_p * dim_p)
+        fits = wb2p + 24 * 1024 * 1024 <= 100 * 1024 * 1024
+        iters = seg_depth * heads * bm_eff
+        if fits and (iters <= 96 or bm_eff == 1):
+            # manually double-buffered weight DMA in one program: overlaps
+            # the weight stream with compute AND avoids per-layer grid-step
+            # overhead (measured v5e b1: tiny 33 vs 52 us resident / 46
+            # streamed; small 88 vs 96; base 262 vs 350 MLP-blocked).  Over
+            # ~96 in-kernel attention iterations the depth loop switches to
+            # lax.fori_loop (the unrolled base form exceeds the remote
+            # compiler's budget).  Large batch blocks keep the streamed
+            # variant below — measured faster there (tiny b128 bm16: 4.40 ms
+            # streamed vs 4.57 pipelined-fori).
+            x = encoder_forward_pipelined(
+                x, stacked, heads=heads, unroll=iters <= 96, **base_kw)
         elif 2 * layer_bytes > 16 * 1024 * 1024 and mlp_d % 768 == 0:
-            # per-layer weights too big to double-buffer (DeiT-Base):
-            # stream the MLP in hidden-dim chunks
+            # per-layer weights too big to double-buffer: stream the MLP in
+            # hidden-dim chunks
             x = encoder_forward_blocked(x, stacked, mlp_chunk=768, heads=heads,
                                         **base_kw)
         else:

@@ -19,9 +19,21 @@ Supports both residual conventions (standard ``x + fn(LN(x))`` and the
 reference quirk ``fn(LN(x)) + LN(x)``, /root/reference/modeling/layers/
 norm.py:10-12 + residual.py:9) and both GELU variants.
 
-VMEM budget (bf16 weights, double-buffered): DeiT-Tiny 2*0.9 MB,
-DeiT-Small 2*3.5 MB — fits; DeiT-Base (2*14 MB) does not and falls back to
-the XLA path at model level.
+Kernel variants (selected by models/vit.fused_vit_apply):
+* ``encoder_forward`` — grid (batch_blocks, depth), weights streamed by the
+  BlockSpec pipeline (Mosaic double-buffers them).  ~1.5 us/layer of fixed
+  grid-step overhead; best for large batch blocks.
+* ``encoder_forward_pipelined`` — ONE program; the four matmul weights stay
+  in HBM and the kernel double-buffers per-layer async copies against
+  compute.  Removes both the grid-step overhead and the serial weight load,
+  and only needs TWO layers of weights in VMEM, so DeiT-Base bf16
+  (2 x 14 MB/layer) runs fully overlapped (b1: 262 us vs 350 blocked).
+* ``encoder_forward_resident`` — ALL weights VMEM-resident (kept for
+  reference/fallback; superseded by pipelined: tiny b1 33 vs 52 us).
+* ``encoder_forward_blocked`` — MLP streamed in hidden-dim chunks via a
+  third grid axis (fallback for layers too big to double-buffer).
+* ``encoder_forward_int8`` / ``_int8_pipelined`` — int8 weight streaming
+  with in-kernel dynamic per-row activation quantization.
 """
 
 from __future__ import annotations
@@ -431,6 +443,233 @@ def encoder_forward_resident(
 
 
 # ---------------------------------------------------------------------------
+# Pipelined variant: weights stay in HBM and the kernel double-buffers
+# per-layer async copies of the four matmul weights against compute — one
+# program, no per-layer grid steps.  This removes BOTH fixed costs measured
+# on v5e: the resident variant's serial whole-model weight DMA before any
+# compute (~13 us for DeiT-Tiny's 11 MB at 819 GB/s) and the streamed
+# variant's ~1.5 us/layer grid-step overhead.  Because only TWO layers of
+# weights need VMEM at once, it also runs DeiT-Base bf16 (2 x 14 MB) with
+# full DMA/compute overlap — the shape the whole-model-resident kernel can
+# never hold.
+# ---------------------------------------------------------------------------
+
+
+def _encoder_kernel_pipelined(
+    x_ref,
+    ln1_g, ln1_b, qkv_b, out_b, ln2_g, ln2_b, fc1_b, fc2_b,  # VMEM [L, 1, d]
+    qkv_w_hbm, out_w_hbm, fc1_w_hbm, fc2_w_hbm,              # ANY  [L, in, out]
+    o_ref,
+    qkv_buf, out_buf, fc1_buf, fc2_buf,                      # VMEM [2, in, out]
+    sems,                                                    # DMA sems [2, 4]
+    *,
+    depth: int,
+    bm: int,
+    n_pad: int,
+    heads: int,
+    head_dim: int,
+    seq_len: int,
+    eps: float,
+    scale: float,
+    reference_residual: bool,
+    approx_gelu: bool,
+    unroll: bool,
+):
+    pairs = (
+        (qkv_w_hbm, qkv_buf),
+        (out_w_hbm, out_buf),
+        (fc1_w_hbm, fc1_buf),
+        (fc2_w_hbm, fc2_buf),
+    )
+
+    def copies(li, slot):
+        return [
+            pltpu.make_async_copy(hbm.at[li], buf.at[slot], sems.at[slot, t])
+            for t, (hbm, buf) in enumerate(pairs)
+        ]
+
+    for dma in copies(0, 0):
+        dma.start()
+
+    dtype = x_ref.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    key_mask = col < seq_len
+
+    def layer(li, slot, x):
+        dim = x.shape[-1]
+        h = _ln(x, ln1_g[li], ln1_b[li], eps).astype(dtype)
+        # weight lane dims are zero-padded to 128 multiples (Mosaic requires
+        # aligned lane dims for sliced HBM->VMEM DMA); the pad columns carry
+        # zeros, so slicing the matmul output back to the real width is exact
+        qkv = (
+            jax.lax.dot(h, qkv_buf[slot], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + qkv_b[li]
+        )
+        att = _attention_rows(qkv, bm=bm, n_pad=n_pad, heads=heads,
+                              head_dim=head_dim, key_mask=key_mask,
+                              scale=scale, dtype=dtype)
+        attn_out = (
+            jax.lax.dot(att, out_buf[slot], preferred_element_type=jnp.float32)[:, :dim]
+            + out_b[li].astype(jnp.float32)
+        )
+        x = (attn_out + (h if reference_residual else x).astype(jnp.float32)).astype(dtype)
+
+        h2 = _ln(x, ln2_g[li], ln2_b[li], eps).astype(dtype)
+        hid = (
+            jax.lax.dot(h2, fc1_buf[slot], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + fc1_b[li]
+        )
+        hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+        mlp_out = (
+            jax.lax.dot(hid, fc2_buf[slot], preferred_element_type=jnp.float32)[:, :dim]
+            + fc2_b[li].astype(jnp.float32)
+        )
+        return (mlp_out + (h2 if reference_residual else x).astype(jnp.float32)).astype(dtype)
+
+    x = x_ref[:]
+    if unroll:
+        for li in range(depth):
+            slot = li % 2
+            if li + 1 < depth:
+                for dma in copies(li + 1, 1 - slot):
+                    dma.start()
+            for dma in copies(li, slot):
+                dma.wait()
+            x = layer(li, slot, x)
+    else:
+        def body(li, x):
+            slot = jax.lax.rem(li, 2)
+
+            @pl.when(li + 1 < depth)
+            def _():
+                for dma in copies(li + 1, 1 - slot):
+                    dma.start()
+
+            for dma in copies(li, slot):
+                dma.wait()
+            return layer(li, slot, x)
+
+        x = jax.lax.fori_loop(0, depth, body, x)
+
+    o_ref[:] = x
+
+
+def encoder_forward_pipelined(
+    x: jax.Array,
+    stacked: dict,
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    reference_residual: bool = False,
+    approx_gelu: bool = False,
+    batch_block: int | None = None,
+    n_pad_multiple: int = 8,
+    unroll: bool = True,
+) -> jax.Array:
+    """Whole-encoder kernel with manually double-buffered weight DMA
+    (see _encoder_kernel_pipelined).  Same contract as encoder_forward.
+
+    ``unroll``: python-unroll the depth loop (best for b1); False uses
+    lax.fori_loop with dynamic slot indices — ~depth-times smaller program,
+    for large batch blocks where the unrolled form would blow up compile
+    time."""
+    b, n, dim = x.shape
+    depth = stacked["qkv_w"].shape[0]
+    inner = stacked["qkv_w"].shape[2]
+    mlp = stacked["fc1_w"].shape[2]
+    n_pad = round_up(n, n_pad_multiple)
+
+    bm = batch_block if batch_block is not None else default_batch_block(dim)
+    bm = min(bm, b)
+    b_pad = round_up(b, bm)
+
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    xp = xp.reshape(b_pad * n_pad, dim)
+
+    # Mosaic requires 128-aligned lane dims for sliced HBM->VMEM DMA: zero-pad
+    # weight output columns (and the matching bias lanes / fc2 input rows) up
+    # to multiples of 128.  No-op for dims already aligned (small/base).
+    def pad_lane(a, m=128):
+        pad = (-a.shape[-1]) % m
+        if pad == 0:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+
+    inner_p = round_up(inner, 128)
+    mlp_p = round_up(mlp, 128)
+    dim_p = round_up(dim, 128)
+    qkv_w = pad_lane(stacked["qkv_w"])
+    qkv_b = pad_lane(stacked["qkv_b"])
+    out_w = pad_lane(stacked["out_w"])
+    fc1_w = pad_lane(stacked["fc1_w"])
+    fc1_b = pad_lane(stacked["fc1_b"])
+    fc2_w = jnp.pad(
+        stacked["fc2_w"],
+        ((0, 0), (0, mlp_p - mlp), (0, dim_p - dim)),
+    )
+
+    kernel = functools.partial(
+        _encoder_kernel_pipelined,
+        depth=depth, bm=bm, n_pad=n_pad, heads=heads, head_dim=head_dim,
+        seq_len=n, eps=eps, scale=head_dim**-0.5,
+        reference_residual=reference_residual, approx_gelu=approx_gelu,
+        unroll=unroll,
+    )
+
+    itemsize = jnp.dtype(x.dtype).itemsize
+    wbytes2 = 2 * (dim * inner_p + heads * head_dim * dim_p + dim * mlp_p
+                   + mlp_p * dim_p) * itemsize
+    vmem_limit = min(100 * 1024 * 1024, wbytes2 + 24 * 1024 * 1024)
+
+    vres = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)   # small resident vecs
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)     # big streamed weights
+
+    flops = depth * b_pad * 2 * n_pad * (
+        dim * inner + 2 * n_pad * head_dim * heads + head_dim * heads * dim
+        + 2 * dim * mlp
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm * n_pad, dim), lambda bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [vres()] * 8 + [hbm()] * 4,
+        out_specs=pl.BlockSpec((bm * n_pad, dim), lambda bi: (bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad * n_pad, dim), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, dim, inner_p), x.dtype),
+            pltpu.VMEM((2, heads * head_dim, dim_p), x.dtype),
+            pltpu.VMEM((2, dim, mlp_p), x.dtype),
+            pltpu.VMEM((2, mlp_p, dim_p), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                depth * (dim * inner + heads * head_dim * dim + 2 * dim * mlp)
+                * itemsize * (b_pad // bm)
+            ),
+            transcendentals=depth * b_pad * n_pad * (n_pad * heads + mlp),
+        ),
+    )(
+        xp,
+        stacked["ln1_g"], stacked["ln1_b"], qkv_b, stacked["out_b"],
+        stacked["ln2_g"], stacked["ln2_b"], fc1_b, stacked["fc2_b"],
+        qkv_w, out_w, fc1_w, fc2_w,
+    )
+    return out.reshape(b_pad, n_pad, dim)[:b, :n, :]
+
+
+# ---------------------------------------------------------------------------
 # Int8-weight variant: weights stream as int8 (+ per-output-channel fp32
 # scales), activations are dynamically quantized per row in-kernel, matmuls
 # run int8 x int8 -> int32 on the MXU (SURVEY §2.3 "int8 Pallas matmul
@@ -625,6 +864,220 @@ def encoder_forward_int8(
         stacked_q["ln2_g"], stacked_q["ln2_b"],
         stacked_q["fc1_w"], stacked_q["fc1_s"], stacked_q["fc1_b"],
         stacked_q["fc2_w"], stacked_q["fc2_s"], stacked_q["fc2_b"],
+    )
+    return out.reshape(b_pad, n_pad, dim)[:b, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# Int8 pipelined variant: int8 weights stay in HBM and double-buffer against
+# compute like _encoder_kernel_pipelined — the int8 counterpart halves the
+# streamed bytes again (DeiT-Base: 85 MB -> ~104 us of HBM at 819 GB/s,
+# fully overlapped under the int8 MXU compute).
+# ---------------------------------------------------------------------------
+
+
+def _int8_mm_buf(h, wq, ws):
+    """h [m, k] float x int8 weight VALUE (not ref) -> fp32, dynamic per-row
+    activation quantization (same semantics as _int8_mm)."""
+    q, s = _quant_rows_kernel(h)
+    acc = jax.lax.dot_general(
+        q, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * s * ws
+
+
+def _encoder_kernel_int8_pipelined(
+    x_ref,
+    ln1_g, ln1_b, qkv_s, qkv_b, out_s, out_b,
+    ln2_g, ln2_b, fc1_s, fc1_b, fc2_s, fc2_b,   # VMEM [L, 1, d]
+    qkv_w_hbm, out_w_hbm, fc1_w_hbm, fc2_w_hbm,  # ANY [L, in, out] int8
+    o_ref,
+    qkv_buf, out_buf, fc1_buf, fc2_buf,          # VMEM [2, in, out] int8
+    sems,
+    *,
+    depth: int,
+    bm: int,
+    n_pad: int,
+    heads: int,
+    head_dim: int,
+    seq_len: int,
+    eps: float,
+    scale: float,
+    reference_residual: bool,
+    approx_gelu: bool,
+    unroll: bool,
+):
+    pairs = (
+        (qkv_w_hbm, qkv_buf),
+        (out_w_hbm, out_buf),
+        (fc1_w_hbm, fc1_buf),
+        (fc2_w_hbm, fc2_buf),
+    )
+
+    def copies(li, slot):
+        return [
+            pltpu.make_async_copy(hbm.at[li], buf.at[slot], sems.at[slot, t])
+            for t, (hbm, buf) in enumerate(pairs)
+        ]
+
+    for dma in copies(0, 0):
+        dma.start()
+
+    dtype = x_ref.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    key_mask = col < seq_len
+
+    def layer(li, slot, x):
+        dim = x.shape[-1]
+        h = _ln(x, ln1_g[li], ln1_b[li], eps).astype(dtype)
+        qkv = (_int8_mm_buf(h, qkv_buf[slot], qkv_s[li])
+               + qkv_b[li].astype(jnp.float32)).astype(dtype)
+        att = _attention_rows(qkv, bm=bm, n_pad=n_pad, heads=heads,
+                              head_dim=head_dim, key_mask=key_mask,
+                              scale=scale, dtype=dtype)
+        attn_out = (_int8_mm_buf(att, out_buf[slot], out_s[li])[:, :dim]
+                    + out_b[li].astype(jnp.float32))
+        x = (attn_out + (h if reference_residual else x).astype(jnp.float32)).astype(dtype)
+
+        h2 = _ln(x, ln2_g[li], ln2_b[li], eps).astype(dtype)
+        hid = (_int8_mm_buf(h2, fc1_buf[slot], fc1_s[li])
+               + fc1_b[li].astype(jnp.float32)).astype(dtype)
+        hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+        mlp_out = (_int8_mm_buf(hid, fc2_buf[slot], fc2_s[li])[:, :dim]
+                   + fc2_b[li].astype(jnp.float32))
+        return (mlp_out + (h2 if reference_residual else x).astype(jnp.float32)).astype(dtype)
+
+    x = x_ref[:]
+    if unroll:
+        for li in range(depth):
+            slot = li % 2
+            if li + 1 < depth:
+                for dma in copies(li + 1, 1 - slot):
+                    dma.start()
+            for dma in copies(li, slot):
+                dma.wait()
+            x = layer(li, slot, x)
+    else:
+        def body(li, x):
+            slot = jax.lax.rem(li, 2)
+
+            @pl.when(li + 1 < depth)
+            def _():
+                for dma in copies(li + 1, 1 - slot):
+                    dma.start()
+
+            for dma in copies(li, slot):
+                dma.wait()
+            return layer(li, slot, x)
+
+        x = jax.lax.fori_loop(0, depth, body, x)
+
+    o_ref[:] = x
+
+
+def encoder_forward_int8_pipelined(
+    x: jax.Array,
+    stacked_q: dict,
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    reference_residual: bool = False,
+    approx_gelu: bool = False,
+    batch_block: int | None = None,
+    n_pad_multiple: int = 8,
+    unroll: bool = True,
+) -> jax.Array:
+    """Int8-weight whole-encoder kernel with double-buffered weight DMA.
+    Same contract (and numerics) as encoder_forward_int8."""
+    b, n, dim = x.shape
+    depth = stacked_q["qkv_w"].shape[0]
+    inner = stacked_q["qkv_w"].shape[2]
+    mlp = stacked_q["fc1_w"].shape[2]
+    n_pad = round_up(n, n_pad_multiple)
+
+    bm = batch_block if batch_block is not None else default_batch_block(dim)
+    bm = min(bm, b)
+    b_pad = round_up(b, bm)
+
+    xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    xp = xp.reshape(b_pad * n_pad, dim)
+
+    def pad_lane(a, m=128):
+        pad = (-a.shape[-1]) % m
+        if pad == 0:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+
+    inner_p = round_up(inner, 128)
+    mlp_p = round_up(mlp, 128)
+    dim_p = round_up(dim, 128)
+    qkv_w = pad_lane(stacked_q["qkv_w"])
+    qkv_s = pad_lane(stacked_q["qkv_s"])
+    qkv_b = pad_lane(stacked_q["qkv_b"])
+    out_w = pad_lane(stacked_q["out_w"])
+    out_s = pad_lane(stacked_q["out_s"])
+    fc1_w = pad_lane(stacked_q["fc1_w"])
+    fc1_s = pad_lane(stacked_q["fc1_s"])
+    fc1_b = pad_lane(stacked_q["fc1_b"])
+    fc2_w = jnp.pad(stacked_q["fc2_w"],
+                    ((0, 0), (0, mlp_p - mlp), (0, dim_p - dim)))
+    fc2_s = pad_lane(stacked_q["fc2_s"])
+
+    kernel = functools.partial(
+        _encoder_kernel_int8_pipelined,
+        depth=depth, bm=bm, n_pad=n_pad, heads=heads, head_dim=head_dim,
+        seq_len=n, eps=eps, scale=head_dim**-0.5,
+        reference_residual=reference_residual, approx_gelu=approx_gelu,
+        unroll=unroll,
+    )
+
+    wbytes2 = 2 * (dim * inner_p + heads * head_dim * dim_p + dim * mlp_p
+                   + mlp_p * dim_p)
+    vmem_limit = min(100 * 1024 * 1024, wbytes2 + 24 * 1024 * 1024)
+
+    vres = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm * n_pad, dim), lambda bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [vres()] * 12 + [hbm()] * 4,
+        out_specs=pl.BlockSpec((bm * n_pad, dim), lambda bi: (bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad * n_pad, dim), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, dim, inner_p), jnp.int8),
+            pltpu.VMEM((2, heads * head_dim, dim_p), jnp.int8),
+            pltpu.VMEM((2, dim, mlp_p), jnp.int8),
+            pltpu.VMEM((2, mlp_p, dim_p), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=depth * b_pad * 2 * n_pad * (
+                dim * inner + 2 * n_pad * head_dim * heads
+                + head_dim * heads * dim + 2 * dim * mlp
+            ),
+            bytes_accessed=int(
+                depth * (dim * inner + heads * head_dim * dim + 2 * dim * mlp)
+                * (b_pad // bm)
+            ),
+            transcendentals=depth * b_pad * n_pad * (n_pad * heads + mlp),
+        ),
+    )(
+        xp,
+        stacked_q["ln1_g"], stacked_q["ln1_b"], qkv_s, qkv_b,
+        out_s, stacked_q["out_b"],
+        stacked_q["ln2_g"], stacked_q["ln2_b"], fc1_s, fc1_b,
+        fc2_s, stacked_q["fc2_b"],
+        qkv_w, out_w, fc1_w, fc2_w,
     )
     return out.reshape(b_pad, n_pad, dim)[:b, :n, :]
 

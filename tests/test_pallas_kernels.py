@@ -177,6 +177,49 @@ def test_blocked_encoder_matches_plain():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pipelined_encoder_matches_plain():
+    """Double-buffered-DMA kernel (both unrolled and fori forms, and the int8
+    form) == plain fused kernel, including lane-unaligned (pruned) shapes."""
+    from edgevisiontransformer_tpu.models.vit import ViT, pruned_vit_config
+    from edgevisiontransformer_tpu.ops.pallas.fused_encoder import (
+        encoder_forward,
+        encoder_forward_int8,
+        encoder_forward_int8_pipelined,
+        encoder_forward_pipelined,
+        quantize_stacked_int8,
+        stack_vit_layer_params,
+    )
+
+    # tiny pruned shape: qkv lane 384, mlp 538 — exercises the 128-padding
+    cfg = pruned_vit_config(size="tiny", prune_encoding="all_head2_ffn0.7").replace(depth=3)
+    model = ViT(cfg)
+    params = model.init(jax.random.key(1), jnp.ones((1, 3, 224, 224)))["params"]
+    stacked = stack_vit_layer_params(params, 3, cfg.qkv_bias)
+    x = jax.random.normal(jax.random.key(0), (2, 197, 192))
+    kw = dict(heads=2, head_dim=64, eps=1e-6)
+    ref = np.asarray(encoder_forward(x, stacked, **kw))
+    for unroll in (True, False):
+        got = np.asarray(encoder_forward_pipelined(x, stacked, unroll=unroll, **kw))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    # int8: compare against the per-layer chain of the reference kernel —
+    # the pipelined kernel is bit-identical to it, while the grid-streamed
+    # kernel's multi-layer composition wobbles by ~1 ulp (different XLA
+    # fusion), which the per-row quantization amplifies into quant-step flips
+    sq = quantize_stacked_int8(stacked)
+    y = x
+    for li in range(3):
+        sl = {key: v[li:li + 1] for key, v in sq.items()}
+        y = encoder_forward_int8(y, sl, **kw)
+    got8 = np.asarray(encoder_forward_int8_pipelined(x, sq, unroll=True, **kw))
+    np.testing.assert_allclose(got8, np.asarray(y), rtol=1e-5, atol=1e-5)
+    # the fori form compiles the layer body once, so XLA fuses it differently;
+    # a ~1-ulp fp difference before jnp.round flips quant buckets — agreement
+    # is only up to quantization noise (same bound as the int8-vs-XLA test)
+    got8f = np.asarray(encoder_forward_int8_pipelined(x, sq, unroll=False, **kw))
+    np.testing.assert_allclose(got8f, np.asarray(y), rtol=0.03, atol=0.06)
+
+
 def test_base_dispatches_to_blocked():
     """fused_vit_apply on DeiT-Base shapes must route to the blocked kernel
     and match XLA."""
