@@ -60,9 +60,11 @@ class TokenPerformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     gelu_approx: bool = True
+    dp1: float = 0.1  # after attn_output, reference transformer_encoder.py:47
+    dp2: float = 0.1  # after the MLP, reference transformer_encoder.py:56
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         hs = self.hidden_size
         m = int(hs * self.kernel_ratio)
 
@@ -102,14 +104,16 @@ class TokenPerformer(nn.Module):
         D = jnp.einsum("bti,bi->bt", qp, jnp.sum(kp, axis=1))[..., None]
         kptv = jnp.einsum("bin,bim->bnm", vf, kp)
         y = jnp.einsum("bti,bni->btn", qp, kptv) / (D + self.eps)
-        y = vf + attn_out(y.astype(self.dtype)).astype(jnp.float32)
+        drop1 = nn.Dropout(self.dp1, deterministic=not train or self.dp1 == 0.0)
+        drop2 = nn.Dropout(self.dp2, deterministic=not train or self.dp2 == 0.0)
+        y = vf + drop1(attn_out(y.astype(self.dtype))).astype(jnp.float32)
         y = y.astype(self.dtype)
 
         h = layer_norm(y, g2, b2, self.layernorm_eps)
         h = mlp_block(h, w1.astype(self.dtype), bb1.astype(self.dtype),
                       w2.astype(self.dtype), bb2.astype(self.dtype),
                       get_gelu(self.gelu_approx))
-        return y + h
+        return y + drop2(h)
 
 
 class T2TModule(nn.Module):
@@ -123,7 +127,7 @@ class T2TModule(nn.Module):
     gelu_approx: bool = True
 
     @nn.compact
-    def __call__(self, img: jax.Array) -> jax.Array:
+    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
         # img: NCHW [b, 3, H, W]
         b = img.shape[0]
         x = unfold(img.astype(self.dtype), 7, 4, 2)  # [b, 56*56, 147]
@@ -131,7 +135,8 @@ class T2TModule(nn.Module):
 
         x = TokenPerformer(self.token_size, dtype=self.dtype,
                            param_dtype=self.param_dtype,
-                           gelu_approx=self.gelu_approx, name="performer1")(x)
+                           gelu_approx=self.gelu_approx,
+                           name="performer1")(x, train=train)
         x = x.reshape(b, s0, s0, self.token_size)
         x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for unfold
         x = unfold(x, 3, 2, 1)  # [b, 28*28, token*9]
@@ -139,7 +144,8 @@ class T2TModule(nn.Module):
 
         x = TokenPerformer(self.token_size, dtype=self.dtype,
                            param_dtype=self.param_dtype,
-                           gelu_approx=self.gelu_approx, name="performer2")(x)
+                           gelu_approx=self.gelu_approx,
+                           name="performer2")(x, train=train)
         x = x.reshape(b, s1, s1, self.token_size)
         x = jnp.transpose(x, (0, 3, 1, 2))
         x = unfold(x, 3, 2, 1)  # [b, 14*14, token*9]
@@ -160,7 +166,7 @@ class T2TViT(nn.Module):
     token_size: int = 64
 
     @nn.compact
-    def __call__(self, img: jax.Array) -> jax.Array:
+    def __call__(self, img: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
         n = (cfg.image_size // 16) ** 2  # 3 soft-splits: strides 4*2*2
 
@@ -172,7 +178,7 @@ class T2TViT(nn.Module):
             param_dtype=cfg.param_dtype,
             gelu_approx=cfg.gelu_approx,
             name="tokens_to_token",
-        )(img)
+        )(img, train=train)
 
         cls_token = self.param(
             "cls_token", nn.initializers.normal(0.02), (1, 1, cfg.dim), cfg.param_dtype
@@ -186,7 +192,7 @@ class T2TViT(nn.Module):
         x = x + pos.astype(cfg.dtype)
 
         for i in range(cfg.depth):
-            x = EncoderBlock(cfg, i, name=f"block_{i}")(x)
+            x = EncoderBlock(cfg, i, name=f"block_{i}")(x, train=train)
 
         x = LayerNormP(cfg, name="final_norm")(x)
         x = x[:, 0]

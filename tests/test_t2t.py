@@ -74,6 +74,29 @@ def test_t2t_config_shapes(variant, dim, depth):
     assert cfg.dim == dim and cfg.depth == depth
 
 
+def test_performer_training_dropout():
+    """train=True applies the reference's dp1/dp2 dropouts (transformer_
+    encoder.py:47,56): stochastic across rng, identity when train=False."""
+    m = TokenPerformer(hidden_size=64)
+    x = jax.random.normal(jax.random.key(0), (1, 8, 64))
+    v = m.init(jax.random.key(1), x)
+    y_eval = m.apply(v, x)
+    y_eval2 = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y_eval), np.asarray(y_eval2))
+    y_a = m.apply(v, x, train=True, rngs={"dropout": jax.random.key(2)})
+    y_b = m.apply(v, x, train=True, rngs={"dropout": jax.random.key(3)})
+    assert not np.allclose(np.asarray(y_a), np.asarray(y_b))
+    assert not np.allclose(np.asarray(y_a), np.asarray(y_eval))
+    # the full model threads train= down through the tokenizer
+    cfg = t2t_vit_config(7, image_size=64, depth=1, num_classes=10)
+    model = T2TViT(cfg)
+    xi = jnp.ones((1, 3, 64, 64))
+    vv = model.init(jax.random.key(0), xi)
+    ya = model.apply(vv, xi, train=True, rngs={"dropout": jax.random.key(2)})
+    yb = model.apply(vv, xi, train=False)
+    assert not np.allclose(np.asarray(ya), np.asarray(yb))
+
+
 def test_t2t_vit_forward_small():
     # Shrink image to keep CPU test fast: 64px -> t2t tokens 4x4.
     cfg = t2t_vit_config(7, image_size=64, depth=2, num_classes=10)
