@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -210,6 +211,374 @@ def _swin_block_kernel_blocked(
     @pl.when(si == n_sub - 1)
     def _():
         o_ref[:] = (macc[:] + x.astype(jnp.float32)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Whole-stage pipelined kernel: ALL blocks of a Swin stage run as ONE
+# pallas_call.  The five per-block tensors that dominate memory — the four
+# matmul weights plus the rel-pos bias — stay in HBM and the kernel
+# double-buffers per-block async copies against compute (same scheme as
+# fused_encoder._encoder_kernel_pipelined), removing the per-block serial
+# weight DMA (swin_tiny stage 3: 14 MB/block = ~17 us at 819 GB/s, measured
+# 43 us/block vs the ~18 us floor) and the per-block kernel-launch and XLA
+# fusion-boundary costs.
+#
+# Shifted stages (window < feature map): the cyclic-roll + re-partition
+# bracket between consecutive blocks is a FIXED row permutation of the
+# window-major token rows, applied in-kernel as a one-hot matmul on the MXU
+# (exact for bf16 inputs with an f32 accumulator; reverse = contracting the
+# transpose).  That avoids Mosaic's reshape/relayout restrictions entirely —
+# no (8,7) sublane splits, no gathers — at (nW·n_pad)^2·C MAC per transition
+# (stage 2: [224,224]x[224,C] ≈ 0.2 us).  Shifted blocks additionally add
+# the standard additive window mask (log2e-prescaled, broadcast per image).
+# ---------------------------------------------------------------------------
+
+
+def _frame_order(res: int, w: int, shift: int) -> np.ndarray:
+    """Map position of each window-major token: o[k] = y*res + x for the k-th
+    token of the (rolled-by-``shift``) window partition."""
+    idx = np.arange(res * res).reshape(res, res)
+    if shift:
+        idx = np.roll(idx, (-shift, -shift), (0, 1))
+    nb = res // w
+    return idx.reshape(nb, w, nb, w).transpose(0, 2, 1, 3).reshape(-1)
+
+
+def stage_transition_perm(res: int, w: int, shift: int, n_pad: int):
+    """One-hot [nW*n_pad, nW*n_pad] P with P @ x_wm_unshifted = x_wm_shifted
+    (row-major f32; padding rows map to zero).  P is orthogonal, so the
+    reverse transition is P^T (contract dim 0)."""
+    o0 = _frame_order(res, w, 0)
+    o1 = _frame_order(res, w, shift)
+    pos_to_k0 = np.empty(res * res, np.int64)
+    pos_to_k0[o0] = np.arange(o0.size)
+    n = w * w
+    nwin = (res // w) ** 2
+    rows = np.arange(nwin * n)
+    k0 = pos_to_k0[o1]
+    r1 = (rows // n) * n_pad + rows % n
+    r0 = (k0 // n) * n_pad + k0 % n
+    P = np.zeros((nwin * n_pad, nwin * n_pad), np.float32)
+    P[r1, r0] = 1.0
+    return P
+
+
+def _swin_stage_kernel_pipelined(
+    x_ref,
+    ln1_g, ln1_b, qkv_b, proj_b, ln2_g, ln2_b, fc1_b, fc2_b,  # VMEM [L, 1, d]
+    mask_ref,    # VMEM [nwin, n_pad, n_pad] f32 (dummy [1,1,1] when unshifted)
+    perm_ref,    # VMEM [R, R] one-hot (dummy [1,1] when unshifted)
+    qkv_w_hbm, proj_w_hbm, fc1_w_hbm, fc2_w_hbm,  # ANY  [L, in, out]
+    bias_hbm,                                     # ANY  [L, H, n_pad, n_pad]
+    o_ref,
+    qkv_buf, proj_buf, fc1_buf, fc2_buf,          # VMEM [2, in, out]
+    bias_buf,                                     # VMEM [2, H, n_pad, n_pad]
+    sems,                                         # DMA sems [2, 5]
+    *,
+    depth: int,
+    gm: int,
+    nwin: int,
+    n_pad: int,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    scale: float,
+    approx_gelu: bool,
+    shifted: bool,
+    unroll: bool,
+):
+    pairs = (
+        (qkv_w_hbm, qkv_buf),
+        (proj_w_hbm, proj_buf),
+        (fc1_w_hbm, fc1_buf),
+        (fc2_w_hbm, fc2_buf),
+        (bias_hbm, bias_buf),
+    )
+    gb = gm * nwin
+    hd = head_dim
+    pn = n_pad
+    dtype = x_ref.dtype
+
+    def copies(li, slot):
+        return [
+            pltpu.make_async_copy(hbm.at[li], buf.at[slot], sems.at[slot, t])
+            for t, (hbm, buf) in enumerate(pairs)
+        ]
+
+    def permute(x, reverse):
+        # one-hot row permutation per image; exact in bf16 (f32 accumulate)
+        r = nwin * pn
+        c = x.shape[-1]
+        xg = x.reshape(gm, r, c)
+        outs = []
+        for g in range(gm):
+            if reverse:
+                o = jax.lax.dot_general(
+                    perm_ref[:], xg[g], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                o = jax.lax.dot(perm_ref[:], xg[g],
+                                preferred_element_type=jnp.float32)
+            outs.append(o.astype(dtype))
+        return jnp.concatenate(outs, 0)
+
+    def block(x, li, slot, use_mask):
+        c = x.shape[-1]
+        # weight lane dims are zero-padded to 128 multiples (sliced HBM->VMEM
+        # DMA needs aligned lanes); pad columns are zeros, so slicing the
+        # matmul output back to the real width is exact
+        h = _ln(x, ln1_g[li], ln1_b[li], eps).astype(dtype)
+        qkv = (
+            jax.lax.dot(h, qkv_buf[slot], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + qkv_b[li]
+        )
+        outs = []
+        for i in range(heads):
+            q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd].reshape(gb, pn, hd)
+            k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd].reshape(gb, pn, hd)
+            v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd].reshape(gb, pn, hd)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale + bias_buf[slot, i][:, :pn][None]
+            if use_mask:
+                s = (s.reshape(gm, nwin, pn, pn) + mask_ref[:][None]
+                     ).reshape(gb, pn, pn)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            r = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            o = o * pl.reciprocal(r, approx=False)
+            outs.append(o.astype(dtype).reshape(gb * pn, hd))
+        att = jnp.concatenate(outs, axis=-1)
+        attn_out = (
+            jax.lax.dot(att, proj_buf[slot], preferred_element_type=jnp.float32)[:, :c]
+            + proj_b[li].astype(jnp.float32)
+        )
+        x = (attn_out + x.astype(jnp.float32)).astype(dtype)
+
+        h2 = _ln(x, ln2_g[li], ln2_b[li], eps).astype(dtype)
+        hid = (
+            jax.lax.dot(h2, fc1_buf[slot], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + fc1_b[li]
+        )
+        hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+        mlp_out = (
+            jax.lax.dot(hid, fc2_buf[slot], preferred_element_type=jnp.float32)[:, :c]
+            + fc2_b[li].astype(jnp.float32)
+        )
+        return (mlp_out + x.astype(jnp.float32)).astype(dtype)
+
+    for dma in copies(0, 0):
+        dma.start()
+    x = x_ref[:]  # [gm*nwin*n_pad, C]
+
+    if unroll:
+        for li in range(depth):
+            slot = li % 2
+            odd = li % 2 == 1
+            if li + 1 < depth:
+                for dma in copies(li + 1, 1 - slot):
+                    dma.start()
+            for dma in copies(li, slot):
+                dma.wait()
+            if odd and shifted:
+                x = permute(x, False)
+            x = block(x, li, slot, use_mask=odd and shifted)
+            if odd and shifted:
+                x = permute(x, True)
+    else:
+        # fori over block PAIRS so buffer slots and the shift pattern stay
+        # static (even block -> slot 0, odd -> slot 1)
+        def body(pi, x):
+            li0 = 2 * pi
+
+            @pl.when(li0 + 1 < depth)
+            def _():
+                for dma in copies(li0 + 1, 1):
+                    dma.start()
+
+            for dma in copies(li0, 0):
+                dma.wait()
+            x = block(x, li0, 0, use_mask=False)
+
+            li1 = li0 + 1
+
+            @pl.when(li1 + 1 < depth)
+            def _():
+                for dma in copies(li1 + 1, 0):
+                    dma.start()
+
+            for dma in copies(li1, 1):
+                dma.wait()
+            if shifted:
+                x = permute(x, False)
+            x = block(x, li1, 1, use_mask=shifted)
+            if shifted:
+                x = permute(x, True)
+            return x
+
+        x = jax.lax.fori_loop(0, depth // 2, body, x)
+
+    o_ref[:] = x
+
+
+def swin_stage_pipelined_fits(c: int, hidden: int, depth: int,
+                              itemsize: int = 2, *, nwin: int = 1,
+                              n_pad: int = 56, heads: int = 1) -> bool:
+    """True when the whole-stage pipelined kernel applies: double-buffered
+    weight+bias slots fit the VMEM budget, the transition-permutation matmul
+    stays cheap, and the depth matches the pair loop."""
+    c_p = round_up(c, 128)
+    hid_p = round_up(hidden, 128)
+    wb2 = 2 * itemsize * (c * round_up(3 * c, 128) + c * c_p
+                          + c * hid_p + hid_p * c_p)
+    wb2 += 2 * 4 * heads * n_pad * n_pad          # bias slots (f32)
+    if nwin > 1 and (depth % 2 != 0 or nwin * n_pad > 1024):
+        return False
+    return (depth % 2 == 0 or depth <= 8) and \
+        wb2 + 40 * 1024 * 1024 <= 100 * 1024 * 1024
+
+
+def swin_stage_forward_pipelined(
+    xw: jax.Array,            # [B*nW, n, C] window-major tokens
+    stacked: dict,            # block params stacked on a leading [L] axis
+    biases: jax.Array,        # [L, H, n_pad, n_pad] fp32 kernel-ready
+                              # (padded + log2e-scaled, see _padded_bias)
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    approx_gelu: bool = False,
+    nwin: int = 1,
+    res: int | None = None,
+    window: int | None = None,
+    mask: jax.Array | None = None,   # [nW, n, n] shifted mask (raw, unscaled)
+    images_per_program: int | None = None,
+    unroll: bool | None = None,
+) -> jax.Array:
+    """ALL blocks of a Swin stage as one double-buffered-DMA kernel.
+
+    ``nwin == 1`` (window == feature map, every variant's stage 3): no
+    inter-block bracket exists at all.  ``nwin > 1``: the roll/partition
+    bracket around each odd (shifted) block runs in-kernel as a one-hot
+    permutation matmul (see stage_transition_perm) and odd blocks add
+    ``mask``.  Input/output are window-major [B*nW, n, C]."""
+    bwin, n, c = xw.shape
+    assert bwin % nwin == 0
+    b = bwin // nwin
+    n_pad = round_up(n, 8)
+    r_tot = nwin * n_pad
+    depth = stacked["qkv_w"].shape[0]
+    hidden = stacked["fc1_w"].shape[2]
+    shifted = nwin > 1
+    if shifted:
+        assert depth % 2 == 0 and mask is not None and res and window
+    if unroll is None:
+        unroll = depth <= 6
+
+    if images_per_program is None:
+        per_image = r_tot * (18 * c + 8 * n_pad)
+        images_per_program = max(1, (16 * 1024 * 1024) // per_image)
+    gm = max(1, min(images_per_program, b))
+    while b % gm != 0:
+        gm -= 1
+
+    xp = jnp.pad(xw, ((0, 0), (0, n_pad - n), (0, 0))).reshape(b * r_tot, c)
+
+    def pad_lane(a, m=128):
+        pad = (-a.shape[-1]) % m
+        if pad == 0:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+
+    inner_p = round_up(3 * c, 128)
+    hid_p = round_up(hidden, 128)
+    c_p = round_up(c, 128)
+    qkv_w = pad_lane(stacked["qkv_w"])
+    qkv_b = pad_lane(stacked["qkv_b"])
+    proj_w = pad_lane(stacked["proj_w"])
+    fc1_w = pad_lane(stacked["fc1_w"])
+    fc1_b = pad_lane(stacked["fc1_b"])
+    fc2_w = jnp.pad(stacked["fc2_w"],
+                    ((0, 0), (0, hid_p - hidden), (0, c_p - c)))
+    # sliced HBM->VMEM DMA needs a 128-aligned lane dim; the kernel slices
+    # the loaded bias back to [:, :n_pad] before use
+    biases = pad_lane(biases)
+
+    if shifted:
+        shift = window // 2
+        mp = jnp.zeros((nwin, n_pad, n_pad), jnp.float32)
+        mp = mp.at[:, :n, :n].set(mask.astype(jnp.float32) * _LOG2E)
+        perm = jnp.asarray(stage_transition_perm(res, window, shift, n_pad),
+                           xw.dtype)
+    else:
+        mp = jnp.zeros((1, 1, 1), jnp.float32)
+        perm = jnp.zeros((1, 1), xw.dtype)
+
+    kernel = functools.partial(
+        _swin_stage_kernel_pipelined,
+        depth=depth, gm=gm, nwin=nwin, n_pad=n_pad, heads=heads,
+        head_dim=head_dim, eps=eps, scale=head_dim**-0.5 * _LOG2E,
+        approx_gelu=approx_gelu, shifted=shifted, unroll=unroll,
+    )
+
+    itemsize = xw.dtype.itemsize
+    wbytes2 = 2 * itemsize * (c * inner_p + c * c_p + c * hid_p + hid_p * c_p)
+    # headroom covers gm images of activations (fp32 intermediates + the
+    # compiler's stack scheduling slack — 24 MB OOM'd by 3.3 MB at gm=16)
+    vmem_limit = min(100 * 1024 * 1024, wbytes2 + 40 * 1024 * 1024)
+
+    vres = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
+
+    flops = depth * 2 * b * r_tot * (
+        c * 3 * c + 2 * n_pad * head_dim * heads + c * c + 2 * c * hidden
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // gm,),
+        in_specs=[
+            pl.BlockSpec((gm * r_tot, c), lambda gi: (gi, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [vres()] * 10 + [hbm()] * 5,
+        out_specs=pl.BlockSpec((gm * r_tot, c), lambda gi: (gi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * r_tot, c), xw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, inner_p), xw.dtype),
+            pltpu.VMEM((2, c, c_p), xw.dtype),
+            pltpu.VMEM((2, c, hid_p), xw.dtype),
+            pltpu.VMEM((2, hid_p, c_p), xw.dtype),
+            pltpu.VMEM((2,) + tuple(biases.shape[1:]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 5)),
+        ],
+        interpret=use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                depth * (3 * c * c + c * c + 2 * c * hidden)
+                * itemsize * (b // gm)
+            ),
+            transcendentals=depth * b * r_tot * (n_pad * heads + hidden),
+        ),
+    )(
+        xp,
+        stacked["ln1_g"], stacked["ln1_b"], qkv_b, stacked["proj_b"],
+        stacked["ln2_g"], stacked["ln2_b"], fc1_b, stacked["fc2_b"],
+        mp, perm,
+        qkv_w, proj_w, fc1_w, fc2_w, biases,
+    )
+    return out.reshape(bwin, n_pad, c)[:, :n, :]
 
 
 def _padded_bias(bias_hnn: jax.Array, n: int, n_pad: int) -> jax.Array:

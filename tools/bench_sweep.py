@@ -94,12 +94,18 @@ def vit_cases(fh):
         m = ViT(cfg)
         x = jnp.ones((1, 3, 224, 224), DT)
         v = m.init(jax.random.key(0), x)
-        short = enc if len(enc) < 40 else enc[:24] + "..."
         bench(fh, f"pruned_deit_tiny@{enc}", 1,
               lambda vv, xx: m.apply(vv, xx), (v, x), 1, "xla", iters=150)
         bench(fh, f"pruned_deit_tiny@{enc}_fused", 1,
               lambda vv, xx: fused_vit_apply(m, vv, xx), (v, x), 1, "fused",
               iters=150)
+        # b128 throughput: the MACs-proportionality regime (BASELINE.md
+        # rebuild target 4) — b1 is bounded by fixed per-layer VPU work
+        # (LN/softmax) that pruning cannot shrink
+        x128 = jnp.ones((128, 3, 224, 224), DT)
+        bench(fh, f"pruned_deit_tiny@{enc}_fused", 128,
+              lambda vv, xx: fused_vit_apply(m, vv, xx), (v, x128), 1,
+              "fused", iters=20)
 
 
 def swin_cases(fh):
