@@ -151,3 +151,61 @@ def test_fused_swin_apply_parity():
     y_mixed = fused_swin_apply(m, v, x, pallas_stages=(1,), prepared=prep)
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_mixed),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_stage_kernel_fori_pair_loop_parity():
+    """The whole-stage kernel's lax.fori pair-loop path (unroll=False, used
+    for depth-18 stages) must match the unrolled path and the XLA module
+    forward, including shifted blocks (depth 4, res 14, 4 windows)."""
+    from edgevisiontransformer_tpu.models.swin import fused_swin_apply
+    from edgevisiontransformer_tpu.ops.pallas import swin_block as sb
+
+    cfg = swin_config("tiny", image_size=56, embed_dim=32, depths=(4,),
+                      num_heads=(2,), num_classes=5)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
+    v = m.init(jax.random.key(1), x)
+    y_ref = m.apply(v, x)
+
+    orig = sb.swin_stage_forward_pipelined
+    calls = []
+
+    def forced(*a, **kw):
+        kw["unroll"] = False
+        calls.append(1)
+        return orig(*a, **kw)
+
+    sb.swin_stage_forward_pipelined = forced
+    import edgevisiontransformer_tpu.models.swin as swin_mod
+    try:
+        y_fori = fused_swin_apply(m, v, x)
+    finally:
+        sb.swin_stage_forward_pipelined = orig
+    assert calls, "whole-stage path was not dispatched"
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fori),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_stage_transition_perm_matches_roll_bracket():
+    """stage_transition_perm == window-major composition of roll+partition."""
+    from edgevisiontransformer_tpu.ops.pallas.swin_block import (
+        stage_transition_perm)
+
+    res, w, shift, n_pad = 14, 7, 3, 56
+    n = w * w
+    nwin = (res // w) ** 2
+    rng = np.random.RandomState(0)
+    fm = rng.randn(1, res, res, 3).astype(np.float32)
+    # reference: roll then partition
+    ref = np.asarray(window_partition(
+        jnp.roll(jnp.asarray(fm), (-shift, -shift), axis=(1, 2)), w))
+    # kernel form: partition, pad, P @ rows
+    wm = np.asarray(window_partition(jnp.asarray(fm), w))  # [nW, n, C]
+    wm_p = np.zeros((nwin, n_pad, 3), np.float32)
+    wm_p[:, :n] = wm
+    P = stage_transition_perm(res, w, shift, n_pad)
+    got = (P @ wm_p.reshape(nwin * n_pad, 3)).reshape(nwin, n_pad, 3)[:, :n]
+    np.testing.assert_array_equal(got, ref)
+    # reverse transition: P^T
+    back = (P.T @ (P @ wm_p.reshape(-1, 3))).reshape(nwin, n_pad, 3)[:, :n]
+    np.testing.assert_array_equal(back, wm)
