@@ -1,4 +1,9 @@
 from .mesh import batch_spec, make_mesh, param_partition_spec, shard_params  # noqa: F401
+from .pipeline import (  # noqa: F401
+    pipeline_encoder_apply,
+    sequence_sharded_encoder_apply,
+    vit_block_apply,
+)
 from .train import (  # noqa: F401
     cross_entropy,
     jit_sharded_train_step,
