@@ -29,13 +29,26 @@ _EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
 
 def preprocess_image(
-    img, resize: int = 256, crop: int = 224
+    img, resize: int = 256, crop: int = 224, native: Optional[bool] = None
 ) -> np.ndarray:
-    """PIL image -> normalized CHW float32 (reference transform, utils.py:604-609)."""
+    """PIL image -> normalized CHW float32 (reference transform, utils.py:604-609).
+
+    The hot loop (antialiased bicubic resize -> center crop -> normalize ->
+    CHW) runs in the native C++ library (native/preprocess.cpp) when it is
+    available — the analogue of torchvision's C-backed transforms — with the
+    pure-PIL path as fallback.  ``native=None`` auto-detects."""
     from PIL import Image
 
     if img.mode != "RGB":
         img = img.convert("RGB")
+    if native is None or native:
+        from . import native_preprocess as npre
+
+        if npre.available():
+            return npre.preprocess_native(np.asarray(img, np.uint8),
+                                          resize, crop)
+        if native:
+            raise RuntimeError("native preprocessing requested but unavailable")
     w, h = img.size
     if w < h:
         nw, nh = resize, int(round(h * resize / w))
@@ -62,25 +75,66 @@ def list_image_folder(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
     return samples, classes
 
 
+def _load_one(path: str, resize: int, crop: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return preprocess_image(im, resize, crop)
+
+
 def iterate_batches(
     samples: Sequence[Tuple[str, int]],
     batch_size: int,
     resize: int = 256,
     crop: int = 224,
     drop_remainder: bool = False,
+    workers: int = 8,
+    prefetch_batches: int = 2,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    from PIL import Image
-
-    buf_x, buf_y = [], []
-    for path, label in samples:
-        with Image.open(path) as im:
-            buf_x.append(preprocess_image(im, resize, crop))
-        buf_y.append(label)
-        if len(buf_x) == batch_size:
+    """Batched loader with worker-thread decode+preprocess and batch
+    prefetch — the reference DataLoader(num_workers, prefetch_factor)
+    analogue (train_main.py dataloaders).  JPEG decode (PIL) and the native
+    resize loop both release the GIL, so threads scale; ``workers=0`` falls
+    back to fully synchronous iteration."""
+    if workers <= 0:
+        buf_x, buf_y = [], []
+        for path, label in samples:
+            buf_x.append(_load_one(path, resize, crop))
+            buf_y.append(label)
+            if len(buf_x) == batch_size:
+                yield np.stack(buf_x), np.asarray(buf_y, np.int32)
+                buf_x, buf_y = [], []
+        if buf_x and not drop_remainder:
             yield np.stack(buf_x), np.asarray(buf_y, np.int32)
-            buf_x, buf_y = [], []
-    if buf_x and not drop_remainder:
-        yield np.stack(buf_x), np.asarray(buf_y, np.int32)
+        return
+
+    import concurrent.futures as cf
+    from collections import deque
+
+    batches = [samples[i:i + batch_size]
+               for i in range(0, len(samples), batch_size)]
+    if drop_remainder and batches and len(batches[-1]) < batch_size:
+        batches.pop()
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        def submit(batch):
+            xs = [pool.submit(_load_one, path, resize, crop)
+                  for path, _ in batch]
+            ys = np.asarray([label for _, label in batch], np.int32)
+            return xs, ys
+
+        window: deque = deque()
+        it = iter(batches)
+        for _ in range(prefetch_batches + 1):
+            nxt = next(it, None)
+            if nxt is not None:
+                window.append(submit(nxt))
+        while window:
+            xs, ys = window.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                window.append(submit(nxt))
+            yield np.stack([f.result() for f in xs]), ys
 
 
 def evaluate(
