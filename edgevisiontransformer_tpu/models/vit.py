@@ -443,8 +443,14 @@ def fully_fused_vit_apply(model: ViT, variables, img: jax.Array,
 
     Standard-style models only (single linear head); same params as
     ``model.apply``.  The only XLA op is the patch rearrange of the input.
+    Dispatches to the double-buffered-DMA pipelined program when two layers
+    of (lane-padded) weights fit VMEM; falls back to the layer-grid
+    streamed kernel otherwise.
     """
-    from ..ops.pallas.fused_vit_full import vit_full_forward
+    from ..ops.pallas.fused_vit_full import (
+        vit_full_forward,
+        vit_full_forward_pipelined,
+    )
     from ..ops.pallas.fused_encoder import stack_vit_layer_params
 
     cfg = model.config
@@ -474,7 +480,17 @@ def fully_fused_vit_apply(model: ViT, variables, img: jax.Array,
     else:
         fg = jnp.ones((cfg.dim,), dt)
         fb = jnp.zeros((cfg.dim,), dt)
-    return vit_full_forward(
+    itemsize = jnp.dtype(dt).itemsize
+    inner = stacked["qkv_w"].shape[2]
+    mlp_d = stacked["fc1_w"].shape[2]
+    rup = lambda v: -(-v // 128) * 128
+    wb2p = 2 * itemsize * (cfg.dim * rup(inner)
+                           + cfg.heads * cfg.resolved_head_dim * rup(cfg.dim)
+                           + cfg.dim * rup(mlp_d) + rup(mlp_d) * rup(cfg.dim))
+    forward = (vit_full_forward_pipelined
+               if wb2p + 24 * 1024 * 1024 <= 100 * 1024 * 1024
+               else vit_full_forward)
+    return forward(
         patches, stacked,
         p["patch_kernel"].astype(dt), embed_bias,
         fg, fb,

@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import round_up, use_interpret
-from .fused_encoder import _ln, stack_vit_layer_params
+from .fused_encoder import _attention_rows, _ln, stack_vit_layer_params
 from .mathlib import gelu_kernel
 
 
@@ -229,3 +229,269 @@ def vit_full_forward(
     )
     # row j*8 holds image j's cls logits
     return out.reshape(b_pad, 8, c_pad)[:b, 0, :ncls]
+
+
+# ---------------------------------------------------------------------------
+# Pipelined whole-model variant: ONE program (no per-layer grid steps) whose
+# four per-layer matmul weights double-buffer HBM->VMEM against compute, as
+# in fused_encoder._encoder_kernel_pipelined, with the patch-embed matmul as
+# prologue and final-LN + cls head as epilogue.
+#
+# MEASURED (v5e, round 2): slightly SLOWER than patch-embed/head in XLA
+# around the pipelined encoder kernel (tiny b1 62 vs 58 us, small b1 109 vs
+# 105, tiny b128 4.94 vs 4.61 ms) — in-program XLA glue is much cheaper than
+# its standalone-measured cost (fusion + no extra dispatch), while the
+# in-kernel prologue serializes ahead of layer 0.  Kept as the single-call
+# deployment form (one program, zero out-of-kernel ops); fused_vit_apply
+# remains the latency-optimal default.
+# ---------------------------------------------------------------------------
+
+
+def _full_kernel_pipelined(
+    patches_ref,              # [bm*n_pad, p*p*c] VMEM (token 0 rows zero)
+    patch_w_ref, embed_b_ref,  # VMEM resident
+    ln1_g, ln1_b, qkv_b, out_b, ln2_g, ln2_b, fc1_b, fc2_b,  # VMEM [L, 1, d]
+    fnorm_g, fnorm_b, head_w_ref, head_b_ref,                # VMEM resident
+    qkv_w_hbm, out_w_hbm, fc1_w_hbm, fc2_w_hbm,              # ANY [L, in, out]
+    o_ref,                    # [bm, C_pad]
+    qkv_buf, out_buf, fc1_buf, fc2_buf,                      # VMEM [2, in, out]
+    sems,                                                    # DMA sems [2, 4]
+    *,
+    depth: int,
+    bm: int,
+    n_pad: int,
+    heads: int,
+    head_dim: int,
+    seq_len: int,
+    eps: float,
+    scale: float,
+    reference_residual: bool,
+    approx_gelu: bool,
+    final_norm: bool,
+    unroll: bool,
+):
+    pairs = (
+        (qkv_w_hbm, qkv_buf),
+        (out_w_hbm, out_buf),
+        (fc1_w_hbm, fc1_buf),
+        (fc2_w_hbm, fc2_buf),
+    )
+
+    def copies(li, slot):
+        return [
+            pltpu.make_async_copy(hbm.at[li], buf.at[slot], sems.at[slot, t])
+            for t, (hbm, buf) in enumerate(pairs)
+        ]
+
+    for dma in copies(0, 0):
+        dma.start()
+
+    dtype = o_ref.dtype
+    dim = patch_w_ref.shape[1]
+
+    # prologue: patch embed + (cls|pos|patch) bias, overlapped with the
+    # layer-0 weight DMA
+    emb = jax.lax.dot(patches_ref[:], patch_w_ref[:],
+                      preferred_element_type=jnp.float32)
+    eb = embed_b_ref[:].astype(jnp.float32)
+    x = (emb.reshape(bm, n_pad, dim) + eb[None]).reshape(bm * n_pad, dim)
+    x = x.astype(dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    key_mask = col < seq_len
+
+    def layer(li, slot, x):
+        h = _ln(x, ln1_g[li], ln1_b[li], eps).astype(dtype)
+        qkv = (
+            jax.lax.dot(h, qkv_buf[slot], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + qkv_b[li]
+        )
+        att = _attention_rows(qkv, bm=bm, n_pad=n_pad, heads=heads,
+                              head_dim=head_dim, key_mask=key_mask,
+                              scale=scale, dtype=dtype)
+        attn_out = (
+            jax.lax.dot(att, out_buf[slot], preferred_element_type=jnp.float32)[:, :dim]
+            + out_b[li].astype(jnp.float32)
+        )
+        x = (attn_out + (h if reference_residual else x).astype(jnp.float32)).astype(dtype)
+
+        h2 = _ln(x, ln2_g[li], ln2_b[li], eps).astype(dtype)
+        hid = (
+            jax.lax.dot(h2, fc1_buf[slot], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + fc1_b[li]
+        )
+        hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+        mlp_out = (
+            jax.lax.dot(hid, fc2_buf[slot], preferred_element_type=jnp.float32)[:, :dim]
+            + fc2_b[li].astype(jnp.float32)
+        )
+        return (mlp_out + (h2 if reference_residual else x).astype(jnp.float32)).astype(dtype)
+
+    if unroll:
+        for li in range(depth):
+            slot = li % 2
+            if li + 1 < depth:
+                for dma in copies(li + 1, 1 - slot):
+                    dma.start()
+            for dma in copies(li, slot):
+                dma.wait()
+            x = layer(li, slot, x)
+    else:
+        def body(li, x):
+            slot = jax.lax.rem(li, 2)
+
+            @pl.when(li + 1 < depth)
+            def _():
+                for dma in copies(li + 1, 1 - slot):
+                    dma.start()
+
+            for dma in copies(li, slot):
+                dma.wait()
+            return layer(li, slot, x)
+
+        x = jax.lax.fori_loop(0, depth, body, x)
+
+    # epilogue: cls rows -> final LN -> classifier (rows padded to the
+    # 8-sublane output block)
+    bm8 = o_ref.shape[0]
+    cls = jnp.concatenate(
+        [x[j * n_pad:j * n_pad + 1, :] for j in range(bm)]
+        + [x[:1, :]] * (bm8 - bm), axis=0)
+    if final_norm:
+        cls = _ln(cls, fnorm_g[0], fnorm_b[0], eps).astype(dtype)
+    logits = jax.lax.dot(cls, head_w_ref[:],
+                         preferred_element_type=jnp.float32) \
+        + head_b_ref[0].astype(jnp.float32)
+    o_ref[:] = logits.astype(o_ref.dtype)
+
+
+def vit_full_forward_pipelined(
+    patches: jax.Array,   # [b, n_patches, p*p*c]
+    stacked: dict,
+    patch_w: jax.Array,
+    embed_bias: jax.Array,
+    fnorm_g: jax.Array, fnorm_b: jax.Array,
+    head_w: jax.Array, head_b: jax.Array,
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    reference_residual: bool,
+    approx_gelu: bool,
+    final_norm: bool,
+    batch_block: int | None = None,
+    n_pad_multiple: int = 8,
+    unroll: bool | None = None,
+) -> jax.Array:
+    """Whole model as ONE double-buffered-DMA program (see
+    _full_kernel_pipelined).  Same contract as vit_full_forward."""
+    from .common import default_batch_block
+
+    b, n_patches, pin = patches.shape
+    n = n_patches + 1
+    dim = patch_w.shape[1]
+    depth = stacked["qkv_w"].shape[0]
+    inner = stacked["qkv_w"].shape[2]
+    mlp = stacked["fc1_w"].shape[2]
+    ncls = head_w.shape[1]
+    n_pad = round_up(n, n_pad_multiple)
+    c_pad = round_up(ncls, 128)
+
+    bm = batch_block if batch_block is not None else default_batch_block(dim)
+    bm = min(bm, b)
+    b_pad = round_up(b, bm)
+    # output block rows must be 8-aligned unless the block IS the array
+    bm8 = bm if bm == b_pad else round_up(bm, 8)
+    if unroll is None:
+        unroll = depth * heads * bm <= 96
+
+    pz = jnp.zeros((b, 1, pin), patches.dtype)
+    rows = jnp.concatenate([pz, patches], axis=1)
+    rows = jnp.pad(rows, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
+    rows = rows.reshape(b_pad * n_pad, pin)
+
+    eb = jnp.pad(embed_bias, ((0, n_pad - n), (0, 0)))
+    hw = jnp.pad(head_w, ((0, 0), (0, c_pad - ncls)))
+    hb = jnp.pad(head_b, ((0, c_pad - ncls),)).reshape(1, c_pad)
+
+    def pad_lane(a, m=128):
+        pad = (-a.shape[-1]) % m
+        if pad == 0:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+
+    inner_p = round_up(inner, 128)
+    mlp_p = round_up(mlp, 128)
+    dim_p = round_up(dim, 128)
+    qkv_w = pad_lane(stacked["qkv_w"])
+    qkv_b = pad_lane(stacked["qkv_b"])
+    out_w = pad_lane(stacked["out_w"])
+    fc1_w = pad_lane(stacked["fc1_w"])
+    fc1_b = pad_lane(stacked["fc1_b"])
+    fc2_w = jnp.pad(
+        stacked["fc2_w"],
+        ((0, 0), (0, mlp_p - mlp), (0, dim_p - dim)),
+    )
+
+    kernel = functools.partial(
+        _full_kernel_pipelined,
+        depth=depth, bm=bm, n_pad=n_pad, heads=heads, head_dim=head_dim,
+        seq_len=n, eps=eps, scale=head_dim**-0.5,
+        reference_residual=reference_residual, approx_gelu=approx_gelu,
+        final_norm=final_norm, unroll=unroll,
+    )
+
+    itemsize = jnp.dtype(patches.dtype).itemsize
+    wbytes2 = 2 * (dim * inner_p + heads * head_dim * dim_p + dim * mlp_p
+                   + mlp_p * dim_p) * itemsize
+    vmem_limit = min(100 * 1024 * 1024, wbytes2 + 24 * 1024 * 1024)
+
+    vres = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
+
+    flops = depth * b_pad * 2 * n_pad * (
+        dim * inner + 2 * n_pad * head_dim * heads + head_dim * heads * dim
+        + 2 * dim * mlp
+    ) + b_pad * 2 * n_pad * pin * dim + b_pad * 2 * dim * ncls
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm * n_pad, pin), lambda bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [vres()] * 14 + [hbm()] * 4,
+        out_specs=pl.BlockSpec((bm8, c_pad), lambda bi: (bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((b_pad // bm) * bm8, c_pad),
+                                       patches.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, dim, inner_p), patches.dtype),
+            pltpu.VMEM((2, heads * head_dim, dim_p), patches.dtype),
+            pltpu.VMEM((2, dim, mlp_p), patches.dtype),
+            pltpu.VMEM((2, mlp_p, dim_p), patches.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(
+                depth * (dim * inner + heads * head_dim * dim + 2 * dim * mlp)
+                * itemsize * (b_pad // bm)
+            ),
+            transcendentals=depth * b_pad * n_pad * (n_pad * heads + mlp),
+        ),
+    )(
+        rows,
+        patch_w, eb,
+        stacked["ln1_g"], stacked["ln1_b"], qkv_b, stacked["out_b"],
+        stacked["ln2_g"], stacked["ln2_b"], fc1_b, stacked["fc2_b"],
+        fnorm_g.reshape(1, -1), fnorm_b.reshape(1, -1), hw, hb,
+        qkv_w, out_w, fc1_w, fc2_w,
+    )
+    out = out.reshape(b_pad // bm, bm8, c_pad)[:, :bm].reshape(b_pad, c_pad)
+    return out[:b, :ncls]

@@ -264,3 +264,24 @@ def test_int8_fused_encoder_matches_xla_int8():
     sq = prepare_vit_int8(model, v)
     got2 = fused_vit_apply_int8(model, v, x, sq)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(got), rtol=0, atol=0)
+
+
+def test_fully_fused_pipelined_multistep_grid():
+    """bm < b with bm % 8 != 0 pads the output block to 8 sublanes."""
+    import jax.numpy as jnp
+
+    from edgevisiontransformer_tpu.models.vit import (
+        ViT,
+        deit_config,
+        fully_fused_vit_apply,
+    )
+
+    cfg = deit_config("tiny").replace(image_size=32, patch_size=16, dim=64,
+                                      depth=2, heads=2, mlp_dim=128,
+                                      num_classes=10)
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (6, 3, 32, 32))
+    params = model.init(jax.random.key(1), x)
+    ref = np.asarray(model.apply(params, x))
+    got = np.asarray(fully_fused_vit_apply(model, params, x, batch_block=2))
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
