@@ -399,6 +399,36 @@ def prepare_swin_fused(model: "SwinTransformer", variables) -> dict:
 prepare_swin_biases = prepare_swin_fused
 
 
+def _block_kernel_params(blk: dict, dim: int, dt) -> dict:
+    """Per-block flax params -> the kernel param dict (shared by the
+    whole-stage and per-block fused paths so they cannot diverge)."""
+    cast = lambda a: a.astype(dt)
+    qkv = blk["attn"]["qkv"]
+    return {
+        "ln1_g": blk["ln1_scale"], "ln1_b": blk["ln1_bias"],
+        "qkv_w": cast(qkv["kernel"]),
+        "qkv_b": cast(qkv["bias"]) if "bias" in qkv
+        else jnp.zeros((3 * dim,), dt),
+        "proj_w": cast(blk["attn"]["proj"]["kernel"]),
+        "proj_b": cast(blk["attn"]["proj"]["bias"]),
+        "ln2_g": blk["ln2_scale"], "ln2_b": blk["ln2_bias"],
+        "fc1_w": cast(blk["mlp_fc1_kernel"]),
+        "fc1_b": cast(blk["mlp_fc1_bias"]),
+        "fc2_w": cast(blk["mlp_fc2_kernel"]),
+        "fc2_b": cast(blk["mlp_fc2_bias"]),
+    }
+
+
+def _block_bias(blk: dict, prepared: dict | None, si: int, bi: int,
+                rpi, w: int, heads: int):
+    """(bias, prepadded?) — prepared biases are kernel-ready fp32 padded."""
+    if prepared is not None:
+        return prepared[f"{si}_{bi}"], True
+    table = blk["attn"]["relative_position_bias_table"]
+    return jnp.transpose(
+        table[rpi].reshape(w * w, w * w, heads), (2, 0, 1)), False
+
+
 def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
                      pallas_stages: tuple = (0, 1, 2, 3),
                      prepared: dict | None = None) -> jax.Array:
@@ -454,30 +484,13 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
             biases = []
             for bi in range(depth):
                 blk = p[f"stage_{si}_block_{bi}"]
-                qkv = blk["attn"]["qkv"]
-                bp = {
-                    "ln1_g": blk["ln1_scale"], "ln1_b": blk["ln1_bias"],
-                    "qkv_w": cast(qkv["kernel"]),
-                    "qkv_b": cast(qkv["bias"]) if "bias" in qkv
-                    else jnp.zeros((3 * dim,), dt),
-                    "proj_w": cast(blk["attn"]["proj"]["kernel"]),
-                    "proj_b": cast(blk["attn"]["proj"]["bias"]),
-                    "ln2_g": blk["ln2_scale"], "ln2_b": blk["ln2_bias"],
-                    "fc1_w": cast(blk["mlp_fc1_kernel"]),
-                    "fc1_b": cast(blk["mlp_fc1_bias"]),
-                    "fc2_w": cast(blk["mlp_fc2_kernel"]),
-                    "fc2_b": cast(blk["mlp_fc2_bias"]),
-                }
-                for key, val in bp.items():
+                for key, val in _block_kernel_params(blk, dim, dt).items():
                     v2 = val.reshape(1, -1) if val.ndim == 1 else val
                     stacked_l.setdefault(key, []).append(v2[None])
-                if prepared is not None:
-                    biases.append(prepared[f"{si}_{bi}"])
-                else:
-                    table = blk["attn"]["relative_position_bias_table"]
-                    bias_hnn = jnp.transpose(
-                        table[rpi].reshape(w * w, w * w, heads), (2, 0, 1))
-                    biases.append(_padded_bias(bias_hnn, n, n_pad))
+                bias, prepadded = _block_bias(blk, prepared, si, bi, rpi, w,
+                                              heads)
+                biases.append(bias if prepadded
+                              else _padded_bias(bias, n, n_pad))
             stacked = {key: jnp.concatenate(val)
                        for key, val in stacked_l.items()}
             mask = (jnp.asarray(shifted_window_mask(res, res, w, w // 2))
@@ -505,29 +518,11 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
                 ).apply({"params": blk}, x, mutable=["constants"])
                 continue
 
-            if prepared is not None:
-                bias_hnn = prepared[f"{si}_{bi}"]  # kernel-ready padded fp32
-            else:
-                table = blk["attn"]["relative_position_bias_table"]
-                bias_hnn = jnp.transpose(
-                    table[rpi].reshape(w * w, w * w, heads), (2, 0, 1))
+            bias_hnn, prepadded = _block_bias(blk, prepared, si, bi, rpi, w,
+                                              heads)
             mask = (jnp.asarray(shifted_window_mask(res, res, w, shift))
                     if shift > 0 else None)
-
-            qkv = blk["attn"]["qkv"]
-            bparams = {
-                "ln1_g": blk["ln1_scale"], "ln1_b": blk["ln1_bias"],
-                "qkv_w": cast(qkv["kernel"]),
-                "qkv_b": cast(qkv["bias"]) if "bias" in qkv
-                else jnp.zeros((3 * dim,), dt),
-                "proj_w": cast(blk["attn"]["proj"]["kernel"]),
-                "proj_b": cast(blk["attn"]["proj"]["bias"]),
-                "ln2_g": blk["ln2_scale"], "ln2_b": blk["ln2_bias"],
-                "fc1_w": cast(blk["mlp_fc1_kernel"]),
-                "fc1_b": cast(blk["mlp_fc1_bias"]),
-                "fc2_w": cast(blk["mlp_fc2_kernel"]),
-                "fc2_b": cast(blk["mlp_fc2_bias"]),
-            }
+            bparams = _block_kernel_params(blk, dim, dt)
 
             xs = x.reshape(b, res, res, dim)
             if shift > 0:
@@ -535,11 +530,11 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
             pw = window_partition(xs, w)
             out = swin_block_forward(
                 pw, bparams,
-                bias_hnn if prepared is not None else bias_hnn.astype(dt),
+                bias_hnn if prepadded else bias_hnn.astype(dt),
                 mask,
                 heads=heads, head_dim=dim // heads,
                 eps=cfg.layernorm_eps, approx_gelu=cfg.gelu_approx,
-                bias_prepadded=prepared is not None,
+                bias_prepadded=prepadded,
             )
             xs = window_reverse(out, w, res, res)
             if shift > 0:

@@ -323,15 +323,10 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
         bm_eff = (batch_block if batch_block is not None
                   else default_batch_block(cfg.dim))
         bm_eff = min(bm_eff, img.shape[0])
-        # 2 layers of (lane-128-padded) weights must fit VMEM for the
-        # double-buffered pipelined kernel
-        inner_p = -(-inner // 128) * 128
-        dim_p = -(-cfg.dim // 128) * 128
-        mlp_p = -(-mlp_d // 128) * 128
-        wb2p = 2 * itemsize * (cfg.dim * inner_p
-                               + heads * cfg.resolved_head_dim * dim_p
-                               + cfg.dim * mlp_p + mlp_p * dim_p)
-        fits = wb2p + 24 * 1024 * 1024 <= 100 * 1024 * 1024
+        from ..ops.pallas.fused_encoder import pipelined_weights_fit
+
+        fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, heads,
+                                     cfg.resolved_head_dim, itemsize)
         iters = seg_depth * heads * bm_eff
         if fits and (iters <= 96 or bm_eff == 1):
             # manually double-buffered weight DMA in one program: overlaps
@@ -480,15 +475,13 @@ def fully_fused_vit_apply(model: ViT, variables, img: jax.Array,
     else:
         fg = jnp.ones((cfg.dim,), dt)
         fb = jnp.zeros((cfg.dim,), dt)
-    itemsize = jnp.dtype(dt).itemsize
-    inner = stacked["qkv_w"].shape[2]
-    mlp_d = stacked["fc1_w"].shape[2]
-    rup = lambda v: -(-v // 128) * 128
-    wb2p = 2 * itemsize * (cfg.dim * rup(inner)
-                           + cfg.heads * cfg.resolved_head_dim * rup(cfg.dim)
-                           + cfg.dim * rup(mlp_d) + rup(mlp_d) * rup(cfg.dim))
+    from ..ops.pallas.fused_encoder import pipelined_weights_fit
+
     forward = (vit_full_forward_pipelined
-               if wb2p + 24 * 1024 * 1024 <= 100 * 1024 * 1024
+               if pipelined_weights_fit(cfg.dim, stacked["qkv_w"].shape[2],
+                                        stacked["fc1_w"].shape[2], cfg.heads,
+                                        cfg.resolved_head_dim,
+                                        jnp.dtype(dt).itemsize)
                else vit_full_forward)
     return forward(
         patches, stacked,

@@ -274,6 +274,19 @@ def encoder_forward(
     return out.reshape(b_pad, n_pad, dim)[:b, :n, :]
 
 
+def pipelined_weights_fit(dim: int, inner: int, mlp: int, heads: int,
+                          head_dim: int, itemsize: int = 2) -> bool:
+    """True when TWO layers of lane-128-padded weights (the double-buffered
+    slots of the pipelined kernels) fit the VMEM budget.  The single source
+    for the dispatch gates in models/vit.py — must mirror the wbytes2 /
+    vmem_limit computation in encoder_forward_pipelined and
+    fused_vit_full.vit_full_forward_pipelined."""
+    rup = lambda v: round_up(v, 128)
+    wb2 = 2 * itemsize * (dim * rup(inner) + heads * head_dim * rup(dim)
+                          + dim * rup(mlp) + rup(mlp) * rup(dim))
+    return wb2 + 24 * 1024 * 1024 <= 100 * 1024 * 1024
+
+
 def stack_vit_layer_params(params: dict, depth: int, qkv_bias: bool,
                            start: int = 0) -> dict:
     """Stack per-block flax params into [L, ...] arrays for encoder_forward.

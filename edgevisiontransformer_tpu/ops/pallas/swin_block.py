@@ -481,7 +481,11 @@ def swin_stage_forward_pipelined(
     if shifted:
         assert depth % 2 == 0 and mask is not None and res and window
     if unroll is None:
-        unroll = depth <= 6
+        # the fori pair loop handles even depth only — odd depths (possible
+        # when nwin == 1) must unroll or the tail block would be skipped
+        unroll = depth <= 6 or depth % 2 != 0
+    if not unroll and depth % 2 != 0:
+        raise ValueError("unroll=False uses the pair loop: depth must be even")
 
     if images_per_program is None:
         per_image = r_tot * (18 * c + 8 * n_pad)

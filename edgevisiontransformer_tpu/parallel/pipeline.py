@@ -134,7 +134,7 @@ def pipeline_encoder_apply(
         outs = jnp.zeros((M, mb, n, d), xs.dtype)
         perm = [(i, (i + 1) % S) for i in range(S)]
         for t in range(M + S - 1):
-            feed = xs[min(t, M - 1)]
+            feed = xs[t] if t < M else jnp.zeros_like(xs[0])
             inp = jnp.where(idx == 0, feed, recv)
             out = blocks(inp)
             if t >= S - 1:

@@ -9,6 +9,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -17,27 +18,46 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libevtpre.so"))
 
 _lib: Optional[ctypes.CDLL] = None
+_lib_checked = False  # failure is cached too: no per-image g++ re-probe
+_lib_lock = threading.Lock()
 
 
 def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "preprocess.cpp")
     if not os.path.exists(src):
         return False
+    # write to a temp path and rename: concurrent loaders (threaded
+    # iterate_batches workers) must never CDLL a half-written .so
+    tmp = f"{_LIB_PATH}.build.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC", "-shared",
-             "-std=c++17", "-o", _LIB_PATH, src],
+             "-std=c++17", "-o", tmp, src],
             check=True, capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except (OSError, subprocess.CalledProcessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
 def load_library() -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is not None:
+    global _lib, _lib_checked
+    if _lib is not None or _lib_checked:
         return _lib
+    with _lib_lock:
+        if _lib is not None or _lib_checked:
+            return _lib
+        return _load_library_locked()
+
+
+def _load_library_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_checked
+    _lib_checked = True
     if not os.path.exists(_LIB_PATH) and not _build():
         return None
     lib = ctypes.CDLL(_LIB_PATH)

@@ -176,7 +176,6 @@ def test_stage_kernel_fori_pair_loop_parity():
         return orig(*a, **kw)
 
     sb.swin_stage_forward_pipelined = forced
-    import edgevisiontransformer_tpu.models.swin as swin_mod
     try:
         y_fori = fused_swin_apply(m, v, x)
     finally:
@@ -209,3 +208,31 @@ def test_stage_transition_perm_matches_roll_bracket():
     # reverse transition: P^T
     back = (P.T @ (P @ wm_p.reshape(-1, 3))).reshape(nwin, n_pad, 3)[:, :n]
     np.testing.assert_array_equal(back, wm)
+
+
+def test_stage_kernel_odd_depth_unrolls():
+    """Odd-depth shift-free stages (depth 7, nwin 1) must not drop the tail
+    block: auto-unroll, and unroll=False is rejected loudly."""
+    from edgevisiontransformer_tpu.models.swin import fused_swin_apply
+    from edgevisiontransformer_tpu.ops.pallas import swin_block as sb
+
+    cfg = swin_config("tiny", image_size=28, embed_dim=32, depths=(7,),
+                      num_heads=(2,), num_classes=5)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 28, 28))
+    v = m.init(jax.random.key(1), x)
+    y_ref = m.apply(v, x)
+    y_fused = fused_swin_apply(m, v, x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused),
+                               rtol=2e-3, atol=2e-3)
+
+    orig = sb.swin_stage_forward_pipelined
+    def forced(*a, **kw):
+        kw["unroll"] = False
+        return orig(*a, **kw)
+    sb.swin_stage_forward_pipelined = forced
+    try:
+        with pytest.raises(ValueError, match="depth must be even"):
+            fused_swin_apply(m, v, x)
+    finally:
+        sb.swin_stage_forward_pipelined = orig
