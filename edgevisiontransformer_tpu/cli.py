@@ -73,15 +73,28 @@ def cmd_benchmark(argv):
     params = model.init(jax.random.key(0), x)
     extra = ()
     if args.kernel_mode == "int8":
+        from .models.swin import (
+            SwinTransformer,
+            fused_swin_apply,
+            prepare_swin_fused,
+            prepare_swin_int8,
+        )
         from .models.vit import ViT, fused_vit_apply_int8, prepare_vit_int8
 
-        if not isinstance(model, ViT):
+        if isinstance(model, SwinTransformer):
+            prep = prepare_swin_fused(model, params)
+            q = prepare_swin_int8(model, params)
+            fn = lambda p_, pp_, qq_, x_: fused_swin_apply(
+                model, p_, x_, prepared=pp_, int8_prepared=qq_)
+            extra = (prep, q)
+        elif isinstance(model, ViT):
+            sq = prepare_vit_int8(model, params)
+            fn = lambda p_, sq_, x_: fused_vit_apply_int8(model, p_, x_, sq_)
+            extra = (sq,)
+        else:
             raise SystemExit(
-                f"--kernel-mode int8 supports ViT/DeiT models only, not "
+                f"--kernel-mode int8 supports ViT/DeiT and Swin models, not "
                 f"{type(model).__name__} ({args.model})")
-        sq = prepare_vit_int8(model, params)
-        fn = lambda p_, sq_, x_: fused_vit_apply_int8(model, p_, x_, sq_)
-        extra = (sq,)
     elif args.kernel_mode == "fused":
         from .models.swin import SwinTransformer, fused_swin_apply, prepare_swin_fused
         from .models.t2t_vit import T2TViT, fused_t2t_apply, prepare_t2t_fused

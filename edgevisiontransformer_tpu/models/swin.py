@@ -419,6 +419,41 @@ def _block_kernel_params(blk: dict, dim: int, dt) -> dict:
     }
 
 
+def prepare_swin_int8(model: "SwinTransformer", variables) -> dict:
+    """Per-stage int8-quantized stacked weight dicts for the whole-stage
+    kernel's int8 mode (``fused_swin_apply(..., int8_prepared=...)``).
+    Quantization (per-layer, per-output-channel — the tf2tflite dynamic-range
+    contract, reference utils.py:260-262) runs ONCE here, outside jit."""
+    from ..ops.pallas.fused_encoder import quantize_stacked_int8
+    from ..ops.pallas.swin_block import swin_stage_pipelined_fits
+
+    cfg = model.config
+    dt = cfg.dtype
+    p = variables["params"]
+    out = {}
+    res = cfg.image_size // cfg.patch_size
+    dim = cfg.embed_dim
+    for si, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+        w = min(cfg.window_size, res)
+        n_pad = -(-(w * w) // 8) * 8
+        nwin = (res // w) ** 2 if res % w == 0 else 0
+        hidden = p[f"stage_{si}_block_0"]["mlp_fc1_kernel"].shape[1]
+        if nwin >= 1 and swin_stage_pipelined_fits(
+                dim, hidden, depth, 1, nwin=nwin, n_pad=n_pad, heads=heads):
+            stacked_l: dict = {}
+            for bi in range(depth):
+                blk = p[f"stage_{si}_block_{bi}"]
+                for key, val in _block_kernel_params(blk, dim, dt).items():
+                    v2 = val.reshape(1, -1) if val.ndim == 1 else val
+                    stacked_l.setdefault(key, []).append(v2[None])
+            stacked = {k: jnp.concatenate(v) for k, v in stacked_l.items()}
+            out[si] = quantize_stacked_int8(
+                stacked, keys=("qkv_w", "proj_w", "fc1_w", "fc2_w"))
+        res = max(res // 2, w)
+        dim *= 2
+    return out
+
+
 def _block_bias(blk: dict, prepared: dict | None, si: int, bi: int,
                 rpi, w: int, heads: int):
     """(bias, prepadded?) — prepared biases are kernel-ready fp32 padded."""
@@ -431,7 +466,8 @@ def _block_bias(blk: dict, prepared: dict | None, si: int, bi: int,
 
 def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
                      pallas_stages: tuple = (0, 1, 2, 3),
-                     prepared: dict | None = None) -> jax.Array:
+                     prepared: dict | None = None,
+                     int8_prepared: dict | None = None) -> jax.Array:
     """Forward pass with every Swin block as ONE whole-block Pallas kernel
     (ops/pallas/swin_block.py).  Same params as ``model.apply``.
 
@@ -469,9 +505,11 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
         n = w * w
         n_pad = -(-n // 8) * 8
         nwin = (res // w) ** 2 if res % w == 0 else 0
+        use_int8 = int8_prepared is not None and si in int8_prepared
         if (si in pallas_stages and nwin >= 1
                 and swin_stage_pipelined_fits(dim, hidden, depth,
-                                              jnp.dtype(dt).itemsize,
+                                              1 if use_int8
+                                              else jnp.dtype(dt).itemsize,
                                               nwin=nwin, n_pad=n_pad,
                                               heads=heads)):
             # Whole-stage double-buffered-DMA kernel: every block's weight
@@ -484,15 +522,17 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
             biases = []
             for bi in range(depth):
                 blk = p[f"stage_{si}_block_{bi}"]
-                for key, val in _block_kernel_params(blk, dim, dt).items():
-                    v2 = val.reshape(1, -1) if val.ndim == 1 else val
-                    stacked_l.setdefault(key, []).append(v2[None])
+                if not use_int8:
+                    for key, val in _block_kernel_params(blk, dim, dt).items():
+                        v2 = val.reshape(1, -1) if val.ndim == 1 else val
+                        stacked_l.setdefault(key, []).append(v2[None])
                 bias, prepadded = _block_bias(blk, prepared, si, bi, rpi, w,
                                               heads)
                 biases.append(bias if prepadded
                               else _padded_bias(bias, n, n_pad))
-            stacked = {key: jnp.concatenate(val)
-                       for key, val in stacked_l.items()}
+            stacked = (int8_prepared[si] if use_int8 else
+                       {key: jnp.concatenate(val)
+                        for key, val in stacked_l.items()})
             mask = (jnp.asarray(shifted_window_mask(res, res, w, w // 2))
                     if nwin > 1 and depth > 1 else None)
             pw = window_partition(x.reshape(b, res, res, dim), w)
@@ -500,7 +540,7 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
                 pw, stacked, jnp.stack(biases),
                 heads=heads, head_dim=dim // heads,
                 eps=cfg.layernorm_eps, approx_gelu=cfg.gelu_approx,
-                nwin=nwin, res=res, window=w, mask=mask,
+                nwin=nwin, res=res, window=w, mask=mask, int8=use_int8,
             )
             x = window_reverse(out, w, res, res).reshape(b, res * res, dim)
             blocks_range = ()

@@ -777,12 +777,14 @@ def _encoder_kernel_int8(
         o_ref[:] = x
 
 
-def quantize_stacked_int8(stacked: dict) -> dict:
-    """Quantize a stack_vit_layer_params() dict's weights to int8 with
+def quantize_stacked_int8(stacked: dict,
+                          keys=("qkv_w", "out_w", "fc1_w", "fc2_w")) -> dict:
+    """Quantize a stacked-[L, in, out] weight dict to int8 with
     per-(layer, output-channel) scales (ops/quant.quantize_weight_int8
-    semantics applied per layer)."""
+    semantics applied per layer).  ``keys`` selects the weight entries
+    (the Swin stage dict uses proj_w instead of out_w)."""
     out = dict(stacked)
-    for key in ("qkv_w", "out_w", "fc1_w", "fc2_w"):
+    for key in keys:
         w = stacked[key].astype(jnp.float32)  # [L, in, out]
         absmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)  # [L, 1, out]
         s = jnp.where(absmax > 0, absmax / 127.0, 1.0)

@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import round_up, use_interpret
+from .fused_encoder import _int8_mm_buf
 from .mathlib import gelu_kernel
 
 _NEG = -1e30
@@ -266,6 +267,7 @@ def stage_transition_perm(res: int, w: int, shift: int, n_pad: int):
 def _swin_stage_kernel_pipelined(
     x_ref,
     ln1_g, ln1_b, qkv_b, proj_b, ln2_g, ln2_b, fc1_b, fc2_b,  # VMEM [L, 1, d]
+    qkv_s, proj_s, fc1_s, fc2_s,  # VMEM [L, 1, out] f32 scales ([L,1,1] bf16 mode)
     mask_ref,    # VMEM [nwin, n_pad, n_pad] f32 (dummy [1,1,1] when unshifted)
     perm_ref,    # VMEM [R, R] one-hot (dummy [1,1] when unshifted)
     qkv_w_hbm, proj_w_hbm, fc1_w_hbm, fc2_w_hbm,  # ANY  [L, in, out]
@@ -286,6 +288,7 @@ def _swin_stage_kernel_pipelined(
     approx_gelu: bool,
     shifted: bool,
     unroll: bool,
+    int8: bool = False,
 ):
     pairs = (
         (qkv_w_hbm, qkv_buf),
@@ -328,11 +331,16 @@ def _swin_stage_kernel_pipelined(
         # DMA needs aligned lanes); pad columns are zeros, so slicing the
         # matmul output back to the real width is exact
         h = _ln(x, ln1_g[li], ln1_b[li], eps).astype(dtype)
-        qkv = (
-            jax.lax.dot(h, qkv_buf[slot], preferred_element_type=jnp.float32)
-            .astype(dtype)
-            + qkv_b[li]
-        )
+        if int8:
+            qkv = (_int8_mm_buf(h, qkv_buf[slot], qkv_s[li])
+                   + qkv_b[li].astype(jnp.float32)).astype(dtype)
+        else:
+            qkv = (
+                jax.lax.dot(h, qkv_buf[slot],
+                            preferred_element_type=jnp.float32)
+                .astype(dtype)
+                + qkv_b[li]
+            )
         outs = []
         for i in range(heads):
             q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd].reshape(gb, pn, hd)
@@ -356,23 +364,38 @@ def _swin_stage_kernel_pipelined(
             o = o * pl.reciprocal(r, approx=False)
             outs.append(o.astype(dtype).reshape(gb * pn, hd))
         att = jnp.concatenate(outs, axis=-1)
-        attn_out = (
-            jax.lax.dot(att, proj_buf[slot], preferred_element_type=jnp.float32)[:, :c]
-            + proj_b[li].astype(jnp.float32)
-        )
+        if int8:
+            attn_out = (_int8_mm_buf(att, proj_buf[slot], proj_s[li])[:, :c]
+                        + proj_b[li].astype(jnp.float32))
+        else:
+            attn_out = (
+                jax.lax.dot(att, proj_buf[slot],
+                            preferred_element_type=jnp.float32)[:, :c]
+                + proj_b[li].astype(jnp.float32)
+            )
         x = (attn_out + x.astype(jnp.float32)).astype(dtype)
 
         h2 = _ln(x, ln2_g[li], ln2_b[li], eps).astype(dtype)
-        hid = (
-            jax.lax.dot(h2, fc1_buf[slot], preferred_element_type=jnp.float32)
-            .astype(dtype)
-            + fc1_b[li]
-        )
+        if int8:
+            hid = (_int8_mm_buf(h2, fc1_buf[slot], fc1_s[li])
+                   + fc1_b[li].astype(jnp.float32)).astype(dtype)
+        else:
+            hid = (
+                jax.lax.dot(h2, fc1_buf[slot],
+                            preferred_element_type=jnp.float32)
+                .astype(dtype)
+                + fc1_b[li]
+            )
         hid = gelu_kernel(hid, approx_gelu).astype(dtype)
-        mlp_out = (
-            jax.lax.dot(hid, fc2_buf[slot], preferred_element_type=jnp.float32)[:, :c]
-            + fc2_b[li].astype(jnp.float32)
-        )
+        if int8:
+            mlp_out = (_int8_mm_buf(hid, fc2_buf[slot], fc2_s[li])[:, :c]
+                       + fc2_b[li].astype(jnp.float32))
+        else:
+            mlp_out = (
+                jax.lax.dot(hid, fc2_buf[slot],
+                            preferred_element_type=jnp.float32)[:, :c]
+                + fc2_b[li].astype(jnp.float32)
+            )
         return (mlp_out + x.astype(jnp.float32)).astype(dtype)
 
     for dma in copies(0, 0):
@@ -462,6 +485,7 @@ def swin_stage_forward_pipelined(
     mask: jax.Array | None = None,   # [nW, n, n] shifted mask (raw, unscaled)
     images_per_program: int | None = None,
     unroll: bool | None = None,
+    int8: bool = False,
 ) -> jax.Array:
     """ALL blocks of a Swin stage as one double-buffered-DMA kernel.
 
@@ -469,7 +493,13 @@ def swin_stage_forward_pipelined(
     inter-block bracket exists at all.  ``nwin > 1``: the roll/partition
     bracket around each odd (shifted) block runs in-kernel as a one-hot
     permutation matmul (see stage_transition_perm) and odd blocks add
-    ``mask``.  Input/output are window-major [B*nW, n, C]."""
+    ``mask``.  Input/output are window-major [B*nW, n, C].
+
+    ``int8``: stacked weights are int8 with per-(layer, out-channel) scales
+    (fused_encoder.quantize_stacked_int8 keys qkv_s/proj_s/fc1_s/fc2_s);
+    activations quantize per row in-kernel and the matmuls run
+    int8 x int8 -> int32 on the MXU — HALVES the streamed weight DMA, the
+    binding term of the big-dim stages at b1 (base stage 2: 6.3 MB/block)."""
     bwin, n, c = xw.shape
     assert bwin % nwin == 0
     b = bwin // nwin
@@ -512,6 +542,13 @@ def swin_stage_forward_pipelined(
     fc1_b = pad_lane(stacked["fc1_b"])
     fc2_w = jnp.pad(stacked["fc2_w"],
                     ((0, 0), (0, hid_p - hidden), (0, c_p - c)))
+    if int8:
+        qkv_s = pad_lane(stacked["qkv_s"])
+        proj_s = pad_lane(stacked["proj_s"])
+        fc1_s = pad_lane(stacked["fc1_s"])
+        fc2_s = pad_lane(stacked["fc2_s"])
+    else:
+        qkv_s = proj_s = fc1_s = fc2_s = jnp.zeros((depth, 1, 1), jnp.float32)
     # sliced HBM->VMEM DMA needs a 128-aligned lane dim; the kernel slices
     # the loaded bias back to [:, :n_pad] before use
     biases = pad_lane(biases)
@@ -531,9 +568,10 @@ def swin_stage_forward_pipelined(
         depth=depth, gm=gm, nwin=nwin, n_pad=n_pad, heads=heads,
         head_dim=head_dim, eps=eps, scale=head_dim**-0.5 * _LOG2E,
         approx_gelu=approx_gelu, shifted=shifted, unroll=unroll,
+        int8=int8,
     )
 
-    itemsize = xw.dtype.itemsize
+    itemsize = 1 if int8 else xw.dtype.itemsize
     wbytes2 = 2 * itemsize * (c * inner_p + c * c_p + c * hid_p + hid_p * c_p)
     # headroom covers gm images of activations (fp32 intermediates + the
     # compiler's stack scheduling slack — 24 MB OOM'd by 3.3 MB at gm=16)
@@ -551,15 +589,15 @@ def swin_stage_forward_pipelined(
         in_specs=[
             pl.BlockSpec((gm * r_tot, c), lambda gi: (gi, 0),
                          memory_space=pltpu.VMEM),
-        ] + [vres()] * 10 + [hbm()] * 5,
+        ] + [vres()] * 14 + [hbm()] * 5,
         out_specs=pl.BlockSpec((gm * r_tot, c), lambda gi: (gi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * r_tot, c), xw.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, c, inner_p), xw.dtype),
-            pltpu.VMEM((2, c, c_p), xw.dtype),
-            pltpu.VMEM((2, c, hid_p), xw.dtype),
-            pltpu.VMEM((2, hid_p, c_p), xw.dtype),
+            pltpu.VMEM((2, c, inner_p), jnp.int8 if int8 else xw.dtype),
+            pltpu.VMEM((2, c, c_p), jnp.int8 if int8 else xw.dtype),
+            pltpu.VMEM((2, c, hid_p), jnp.int8 if int8 else xw.dtype),
+            pltpu.VMEM((2, hid_p, c_p), jnp.int8 if int8 else xw.dtype),
             pltpu.VMEM((2,) + tuple(biases.shape[1:]), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 5)),
         ],
@@ -579,6 +617,7 @@ def swin_stage_forward_pipelined(
         xp,
         stacked["ln1_g"], stacked["ln1_b"], qkv_b, stacked["proj_b"],
         stacked["ln2_g"], stacked["ln2_b"], fc1_b, stacked["fc2_b"],
+        qkv_s, proj_s, fc1_s, fc2_s,
         mp, perm,
         qkv_w, proj_w, fc1_w, fc2_w, biases,
     )

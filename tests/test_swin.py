@@ -236,3 +236,25 @@ def test_stage_kernel_odd_depth_unrolls():
             fused_swin_apply(m, v, x)
     finally:
         sb.swin_stage_forward_pipelined = orig
+
+
+def test_fused_swin_int8_parity():
+    """int8 whole-stage path: logits track the bf16 fused path within
+    dynamic-range-int8 tolerance and agree on argmax."""
+    from edgevisiontransformer_tpu.models.swin import (
+        fused_swin_apply, prepare_swin_fused, prepare_swin_int8)
+
+    cfg = swin_config("tiny", image_size=56, embed_dim=32, depths=(2, 2),
+                      num_heads=(2, 4), num_classes=11)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
+    v = m.init(jax.random.key(1), x)
+    prep = prepare_swin_fused(m, v)
+    q = prepare_swin_int8(m, v)
+    assert q, "no stage qualified for the int8 whole-stage kernel"
+    y_bf16 = np.asarray(fused_swin_apply(m, v, x, prepared=prep))
+    y_int8 = np.asarray(fused_swin_apply(m, v, x, prepared=prep,
+                                         int8_prepared=q))
+    assert not np.allclose(y_bf16, y_int8)  # actually quantized
+    np.testing.assert_allclose(y_int8, y_bf16, rtol=0.1, atol=0.15)
+    np.testing.assert_array_equal(y_int8.argmax(-1), y_bf16.argmax(-1))

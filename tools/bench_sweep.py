@@ -113,6 +113,7 @@ def swin_cases(fh):
         SwinTransformer,
         fused_swin_apply,
         prepare_swin_fused,
+        prepare_swin_int8,
         swin_config,
     )
 
@@ -129,6 +130,11 @@ def swin_cases(fh):
             bench(fh, f"swin_{size}_fused", b,
                   lambda vv, pp, xx: fused_swin_apply(m, vv, xx, prepared=pp),
                   (v, prep, x), 2, "fused", iters=it)
+            q = prepare_swin_int8(m, v)
+            bench(fh, f"swin_{size}_int8", b,
+                  lambda vv, pp, qq, xx: fused_swin_apply(
+                      m, vv, xx, prepared=pp, int8_prepared=qq),
+                  (v, prep, q, x), 3, "int8", iters=it)
 
 
 def t2t_cases(fh):
