@@ -331,8 +331,20 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
         prepared = prepare_t2t_fused(model, variables)
 
     img = img.astype(dt)
-    x = fast_stage1_kqv(img, prepared["W9"], prepared["M9"],
-                        prepared["c1"], prepared["c2"])
+    if img.shape[0] >= 8:
+        # serving batches: the shift-expanded stage-1 matmul trades ~3x
+        # FLOPs for fewer dispatches — a b1 latency win that regresses
+        # throughput (measured t2t_7 b32: 2.35 ms fused vs 1.77 XLA).
+        # Use the plain unfold tokenizer there.
+        p1 = tok["performer1"]
+        x = unfold(img, 7, 4, 2)
+        x = layer_norm(x, p1["norm1_scale"], p1["norm1_bias"], 1e-5)
+        x = x @ p1["kqv"]["kernel"].astype(dt)
+        if "bias" in p1["kqv"]:
+            x = x + p1["kqv"]["bias"].astype(dt)
+    else:
+        x = fast_stage1_kqv(img, prepared["W9"], prepared["M9"],
+                            prepared["c1"], prepared["c2"])
     ts = tok["performer1"]["mlp_fc1_kernel"].shape[0]  # token_size
     x = _performer_rest(x, tok["performer1"],
                         tok_c.get("performer1") or _perf_const(model, variables, 1),
@@ -364,11 +376,18 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
 
     stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
     stacked = jax.tree.map(lambda a: a.astype(dt), stacked)
+    from ..ops.pallas.common import default_batch_block
+
+    bm_eff = min(default_batch_block(cfg.dim), x.shape[0])
+    iters = cfg.depth * cfg.heads * bm_eff
+    # pipelined at every batch: unrolled for small programs, fori past ~96
+    # in-kernel iterations (measured b32: t2t_7 fori 1.62 ms vs 1.77
+    # streamed / 1.64 XLA; t2t_14 within jitter of streamed)
     x = encoder_forward_pipelined(
-        x, stacked, heads=cfg.heads, head_dim=cfg.resolved_head_dim,
-        eps=cfg.layernorm_eps, reference_residual=cfg.reference_residual,
-        approx_gelu=cfg.gelu_approx,
-    )
+        x, stacked, unroll=iters <= 96, heads=cfg.heads,
+        head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
+        reference_residual=cfg.reference_residual,
+        approx_gelu=cfg.gelu_approx)
 
     x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
                    cfg.layernorm_eps)

@@ -299,3 +299,23 @@ def test_fused_t2t_apply_parity():
     got2 = fused_t2t_apply(model, v, x, prep)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_fused_t2t_apply_large_batch_parity():
+    """b>=8 dispatches the plain-unfold tokenizer + streamed encoder (the
+    shift-expanded stage-1 matmul regresses throughput); numerics must still
+    match the module forward."""
+    from edgevisiontransformer_tpu.models.t2t_vit import (
+        fused_t2t_apply,
+        prepare_t2t_fused,
+    )
+
+    cfg = t2t_vit_config(7, "reference", num_classes=6, depth=2)
+    model = T2TViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (8, 3, 224, 224))
+    v = model.init(jax.random.key(1), x[:1])
+    ref = model.apply(v, x)
+    prep = prepare_t2t_fused(model, v)
+    got = fused_t2t_apply(model, v, x, prep)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

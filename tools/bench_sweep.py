@@ -148,14 +148,17 @@ def t2t_cases(fh):
     for var in (7, 10, 12, 14):
         cfg = t2t_vit_config(var, dtype=DT)
         m = T2TViT(cfg)
-        x = jnp.ones((1, 3, 224, 224), DT)
-        v = m.init(jax.random.key(0), x)
-        bench(fh, f"t2t_vit_{var}", 1, lambda vv, xx: m.apply(vv, xx),
-              (v, x), 1, "xla", iters=100)
-        prep = prepare_t2t_fused(m, v)
-        bench(fh, f"t2t_vit_{var}_fused", 1,
-              lambda vv, pp, xx: fused_t2t_apply(m, vv, xx, pp),
-              (v, prep, x), 2, "fused", iters=100)
+        batches = (1, 32) if var in (7, 14) else (1,)
+        for b in batches:
+            x = jnp.ones((b, 3, 224, 224), DT)
+            v = m.init(jax.random.key(0), x[:1])
+            it = 100 if b == 1 else 20
+            bench(fh, f"t2t_vit_{var}", b, lambda vv, xx: m.apply(vv, xx),
+                  (v, x), 1, "xla", iters=it)
+            prep = prepare_t2t_fused(m, v)
+            bench(fh, f"t2t_vit_{var}_fused", b,
+                  lambda vv, pp, xx: fused_t2t_apply(m, vv, xx, pp),
+                  (v, prep, x), 2, "fused", iters=it)
 
 
 def cnn_cases(fh):
