@@ -84,6 +84,11 @@ def cmd_benchmark(argv):
         if isinstance(model, SwinTransformer):
             prep = prepare_swin_fused(model, params)
             q = prepare_swin_int8(model, params)
+            if not q:
+                raise SystemExit(
+                    f"{args.model}: no stage qualifies for the int8 "
+                    "whole-stage kernel — the result would silently be the "
+                    "bf16 fused path; use --kernel-mode fused instead")
             fn = lambda p_, pp_, qq_, x_: fused_swin_apply(
                 model, p_, x_, prepared=pp_, int8_prepared=qq_)
             extra = (prep, q)

@@ -368,19 +368,16 @@ def prepare_swin_fused(model: "SwinTransformer", variables) -> dict:
 
     cfg = model.config
     p = variables["params"]
-    res = cfg.image_size // cfg.patch_size
     out = {}
-    for si, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
-        w = min(cfg.window_size, res)
-        rpi = relative_position_index(w).reshape(-1)
-        for bi in range(depth):
-            table = p[f"stage_{si}_block_{bi}"]["attn"][
+    for g in _stage_geometry(cfg, p):
+        rpi = relative_position_index(g.w).reshape(-1)
+        for bi in range(g.depth):
+            table = p[f"stage_{g.si}_block_{bi}"]["attn"][
                 "relative_position_bias_table"]
             bias = jnp.transpose(
-                table[rpi].reshape(w * w, w * w, heads), (2, 0, 1))
+                table[rpi].reshape(g.n, g.n, g.heads), (2, 0, 1))
             # kernel-ready: padded, fp32, pre-scaled by log2(e)
-            out[f"{si}_{bi}"] = _padded_bias(bias, w * w, round_up(w * w, 8))
-        res = max(res // 2, w)
+            out[f"{g.si}_{bi}"] = _padded_bias(bias, g.n, g.n_pad)
 
     dim = cfg.embed_dim
     for si in range(len(cfg.depths) - 1):
@@ -397,6 +394,40 @@ def prepare_swin_fused(model: "SwinTransformer", variables) -> dict:
 
 # Back-compat alias (round-2 intermediate name).
 prepare_swin_biases = prepare_swin_fused
+
+
+import collections
+
+StageGeom = collections.namedtuple(
+    "StageGeom", "si depth heads w res dim n n_pad nwin hidden")
+
+
+def _stage_geometry(cfg, params):
+    """Per-stage geometry shared by prepare_swin_fused / prepare_swin_int8 /
+    fused_swin_apply — the SINGLE source of the res/window/n_pad/nwin
+    progression (mirrors SwinTransformer.__call__: res //= 2 per merge)."""
+    res = cfg.image_size // cfg.patch_size
+    dim = cfg.embed_dim
+    for si, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
+        w = min(cfg.window_size, res)
+        n = w * w
+        hidden = params[f"stage_{si}_block_0"]["mlp_fc1_kernel"].shape[1]
+        yield StageGeom(si, depth, heads, w, res, dim, n,
+                        -(-n // 8) * 8,
+                        (res // w) ** 2 if res % w == 0 else 0, hidden)
+        res //= 2
+        dim *= 2
+
+
+def _stack_stage_params(p, si: int, depth: int, dim: int, dt) -> dict:
+    """Stack a stage's per-block kernel params on a leading [L] axis."""
+    stacked_l: dict = {}
+    for bi in range(depth):
+        blk = p[f"stage_{si}_block_{bi}"]
+        for key, val in _block_kernel_params(blk, dim, dt).items():
+            v2 = val.reshape(1, -1) if val.ndim == 1 else val
+            stacked_l.setdefault(key, []).append(v2[None])
+    return {k: jnp.concatenate(v) for k, v in stacked_l.items()}
 
 
 def _block_kernel_params(blk: dict, dim: int, dt) -> dict:
@@ -431,26 +462,13 @@ def prepare_swin_int8(model: "SwinTransformer", variables) -> dict:
     dt = cfg.dtype
     p = variables["params"]
     out = {}
-    res = cfg.image_size // cfg.patch_size
-    dim = cfg.embed_dim
-    for si, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
-        w = min(cfg.window_size, res)
-        n_pad = -(-(w * w) // 8) * 8
-        nwin = (res // w) ** 2 if res % w == 0 else 0
-        hidden = p[f"stage_{si}_block_0"]["mlp_fc1_kernel"].shape[1]
-        if nwin >= 1 and swin_stage_pipelined_fits(
-                dim, hidden, depth, 1, nwin=nwin, n_pad=n_pad, heads=heads):
-            stacked_l: dict = {}
-            for bi in range(depth):
-                blk = p[f"stage_{si}_block_{bi}"]
-                for key, val in _block_kernel_params(blk, dim, dt).items():
-                    v2 = val.reshape(1, -1) if val.ndim == 1 else val
-                    stacked_l.setdefault(key, []).append(v2[None])
-            stacked = {k: jnp.concatenate(v) for k, v in stacked_l.items()}
-            out[si] = quantize_stacked_int8(
+    for g in _stage_geometry(cfg, p):
+        if g.nwin >= 1 and swin_stage_pipelined_fits(
+                g.dim, g.hidden, g.depth, 1, nwin=g.nwin, n_pad=g.n_pad,
+                heads=g.heads):
+            stacked = _stack_stage_params(p, g.si, g.depth, g.dim, dt)
+            out[g.si] = quantize_stacked_int8(
                 stacked, keys=("qkv_w", "proj_w", "fc1_w", "fc2_w"))
-        res = max(res // 2, w)
-        dim *= 2
     return out
 
 
@@ -494,17 +512,15 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
     x = layer_norm(x, p["embed_norm_scale"], p["embed_norm_bias"],
                    cfg.layernorm_eps)
 
-    res = cfg.image_size // cfg.patch_size
-    dim = cfg.embed_dim
     b = x.shape[0]
-    for si, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
-        w = min(cfg.window_size, res)
+    for g in _stage_geometry(cfg, p):
+        # geometry shared with the prepare_* functions — keeps the fits
+        # gates and n_pad/nwin in exact agreement across the three sites
+        si, depth, heads, w, res, dim = (g.si, g.depth, g.heads, g.w, g.res,
+                                         g.dim)
+        n, n_pad, nwin, hidden = g.n, g.n_pad, g.nwin, g.hidden
         rpi = relative_position_index(w).reshape(-1)
 
-        hidden = p[f"stage_{si}_block_0"]["mlp_fc1_kernel"].shape[1]
-        n = w * w
-        n_pad = -(-n // 8) * 8
-        nwin = (res // w) ** 2 if res % w == 0 else 0
         use_int8 = int8_prepared is not None and si in int8_prepared
         if (si in pallas_stages and nwin >= 1
                 and swin_stage_pipelined_fits(dim, hidden, depth,
@@ -518,21 +534,15 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
             # 43 us/block vs the ~18 us HBM floor at dim 768).  For shifted
             # stages the roll/partition bracket runs in-kernel as a one-hot
             # permutation matmul (ops/pallas/swin_block.py).
-            stacked_l: dict = {}
             biases = []
             for bi in range(depth):
                 blk = p[f"stage_{si}_block_{bi}"]
-                if not use_int8:
-                    for key, val in _block_kernel_params(blk, dim, dt).items():
-                        v2 = val.reshape(1, -1) if val.ndim == 1 else val
-                        stacked_l.setdefault(key, []).append(v2[None])
                 bias, prepadded = _block_bias(blk, prepared, si, bi, rpi, w,
                                               heads)
                 biases.append(bias if prepadded
                               else _padded_bias(bias, n, n_pad))
             stacked = (int8_prepared[si] if use_int8 else
-                       {key: jnp.concatenate(val)
-                        for key, val in stacked_l.items()})
+                       _stack_stage_params(p, si, depth, dim, dt))
             mask = (jnp.asarray(shifted_window_mask(res, res, w, w // 2))
                     if nwin > 1 and depth > 1 else None)
             pw = window_partition(x.reshape(b, res, res, dim), w)

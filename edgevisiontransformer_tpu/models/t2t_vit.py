@@ -327,8 +327,6 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
     consts = variables.get("constants", {})
     tok = p["tokens_to_token"]
     tok_c = consts.get("tokens_to_token", {})
-    if prepared is None:
-        prepared = prepare_t2t_fused(model, variables)
 
     img = img.astype(dt)
     if img.shape[0] >= 8:
@@ -343,6 +341,8 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
         if "bias" in p1["kqv"]:
             x = x + p1["kqv"]["bias"].astype(dt)
     else:
+        if prepared is None:
+            prepared = prepare_t2t_fused(model, variables)
         x = fast_stage1_kqv(img, prepared["W9"], prepared["M9"],
                             prepared["c1"], prepared["c2"])
     ts = tok["performer1"]["mlp_fc1_kernel"].shape[0]  # token_size
@@ -376,15 +376,12 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
 
     stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
     stacked = jax.tree.map(lambda a: a.astype(dt), stacked)
-    from ..ops.pallas.common import default_batch_block
-
-    bm_eff = min(default_batch_block(cfg.dim), x.shape[0])
-    iters = cfg.depth * cfg.heads * bm_eff
     # pipelined at every batch: unrolled for small programs, fori past ~96
-    # in-kernel iterations (measured b32: t2t_7 fori 1.62 ms vs 1.77
-    # streamed / 1.64 XLA; t2t_14 within jitter of streamed)
+    # in-kernel iterations — the kernel resolves unroll=None itself
+    # (measured b32: t2t_7 fori 1.62 ms vs 1.77 streamed / 1.64 XLA;
+    # t2t_14 within jitter of streamed)
     x = encoder_forward_pipelined(
-        x, stacked, unroll=iters <= 96, heads=cfg.heads,
+        x, stacked, heads=cfg.heads,
         head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
         reference_residual=cfg.reference_residual,
         approx_gelu=cfg.gelu_approx)

@@ -580,7 +580,7 @@ def encoder_forward_pipelined(
     approx_gelu: bool = False,
     batch_block: int | None = None,
     n_pad_multiple: int = 8,
-    unroll: bool = True,
+    unroll: bool | None = None,
 ) -> jax.Array:
     """Whole-encoder kernel with manually double-buffered weight DMA
     (see _encoder_kernel_pipelined).  Same contract as encoder_forward.
@@ -588,7 +588,9 @@ def encoder_forward_pipelined(
     ``unroll``: python-unroll the depth loop (best for b1); False uses
     lax.fori_loop with dynamic slot indices — ~depth-times smaller program,
     for large batch blocks where the unrolled form would blow up compile
-    time."""
+    time.  None resolves from the actual in-kernel iteration count
+    (depth * heads * batch_block <= 96) so callers need not re-derive the
+    kernel's internal batch-block policy."""
     b, n, dim = x.shape
     depth = stacked["qkv_w"].shape[0]
     inner = stacked["qkv_w"].shape[2]
@@ -598,6 +600,8 @@ def encoder_forward_pipelined(
     bm = batch_block if batch_block is not None else default_batch_block(dim)
     bm = min(bm, b)
     b_pad = round_up(b, bm)
+    if unroll is None:
+        unroll = depth * heads * bm <= 96
 
     xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
     xp = xp.reshape(b_pad * n_pad, dim)
