@@ -20,6 +20,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Tuple
 
@@ -395,8 +396,6 @@ def prepare_swin_fused(model: "SwinTransformer", variables) -> dict:
 # Back-compat alias (round-2 intermediate name).
 prepare_swin_biases = prepare_swin_fused
 
-
-import collections
 
 StageGeom = collections.namedtuple(
     "StageGeom", "si depth heads w res dim n n_pad nwin hidden")

@@ -258,3 +258,45 @@ def test_fused_swin_int8_parity():
     assert not np.allclose(y_bf16, y_int8)  # actually quantized
     np.testing.assert_allclose(y_int8, y_bf16, rtol=0.1, atol=0.15)
     np.testing.assert_array_equal(y_int8.argmax(-1), y_bf16.argmax(-1))
+
+
+def test_stage_geometry_matches_module_progression():
+    """_stage_geometry must follow the module's res //= 2 progression (the
+    prepare_* fns previously clamped at the window size and could disagree
+    with fused_swin_apply off the standard configs), and int8 dispatch must
+    actually engage for every stage prepare_swin_int8 emits."""
+    from edgevisiontransformer_tpu.models.swin import (
+        _stage_geometry, fused_swin_apply, prepare_swin_int8)
+    from edgevisiontransformer_tpu.ops.pallas import swin_block as sb
+
+    # window 4, image 128 / patch 4: res 32, 16, 8, 4 — every stage
+    # divisible (the module supports only divisible windows), stage 3 at
+    # w == res == 4
+    cfg = swin_config("tiny", image_size=128, window_size=4, embed_dim=32,
+                      depths=(2, 2, 2, 2), num_heads=(2, 2, 4, 4),
+                      num_classes=5)
+    m = SwinTransformer(cfg)
+    x = jnp.ones((1, 3, 128, 128))
+    v = m.init(jax.random.key(0), x)
+    geoms = list(_stage_geometry(cfg, v["params"]))
+    assert [g.res for g in geoms] == [32, 16, 8, 4]
+    assert [g.w for g in geoms] == [4, 4, 4, 4]
+    assert [g.nwin for g in geoms] == [64, 16, 4, 1]
+
+    q = prepare_swin_int8(m, v)
+    int8_calls = []
+    orig = sb.swin_stage_forward_pipelined
+
+    def spy(*a, **kw):
+        if kw.get("int8"):
+            int8_calls.append(kw["nwin"])
+        return orig(*a, **kw)
+
+    sb.swin_stage_forward_pipelined = spy
+    try:
+        y = fused_swin_apply(m, v, x, int8_prepared=q)
+    finally:
+        sb.swin_stage_forward_pipelined = orig
+    assert jnp.isfinite(y).all()
+    # every prepared stage must have dispatched int8 (gate agreement)
+    assert len(int8_calls) == len(q), (len(int8_calls), len(q))
