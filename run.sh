@@ -57,8 +57,8 @@ function benchmark_pruned_grid() {
 }
 
 function full_sweep() {
-    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py bench_sweep_r2.jsonl
-    python tools/make_benchmarks_md.py bench_sweep_r2.jsonl BENCHMARKS.md
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py bench_sweep_r2b.jsonl
+    python tools/make_benchmarks_md.py bench_sweep_r2b.jsonl BENCHMARKS.md
 }
 
 # --- profiling (reference --enable_op_profiling + analyse.py) ---------------
