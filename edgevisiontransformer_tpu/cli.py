@@ -6,7 +6,9 @@ where the command still makes sense on TPU:
   benchmark        on-TPU latency/memory (replaces mobile_benchmark/server_benchmark)
   profile          per-op CSV profiling (replaces --enable_op_profiling + pull)
   analyse_op / analyse_attn_ffn / analyse_gelu_ln   (analyse.py subcommands)
-  convert          quantized export: float16 | bfloat16 | dynamic-int8 (tf2tflite_cmd)
+  convert          quantized export: float16 | bfloat16 | dynamic-int8 |
+                   static-int8 w/ representative-dataset calibration (tf2tflite_cmd)
+  quant_accuracy   bf16/dynamic/static logit-drift + argmax table (D1118 methodology)
   export           save model checkpoint (export_tf_deit etc.)
   eval             ImageNet top-1 (eval_deit / eval_tf / eval_onnx ...)
   prune_heads      are16heads head pruning: real Taylor importance from
@@ -61,7 +63,7 @@ def cmd_benchmark(argv):
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--kernel-mode", default="xla",
-                   choices=["xla", "pallas", "fused", "int8"])
+                   choices=["xla", "pallas", "fused", "int8", "int8_static"])
     args = p.parse_args(argv)
 
     from .bench.looptimer import measure_op_time
@@ -72,16 +74,25 @@ def cmd_benchmark(argv):
     x = jnp.ones((args.batch,) + in_shape, jnp.dtype(args.dtype))
     params = model.init(jax.random.key(0), x)
     extra = ()
-    if args.kernel_mode == "int8":
+    if args.kernel_mode in ("int8", "int8_static"):
         from .models.swin import (
             SwinTransformer,
             fused_swin_apply,
             prepare_swin_fused,
             prepare_swin_int8,
         )
-        from .models.vit import ViT, fused_vit_apply_int8, prepare_vit_int8
+        from .models.vit import (
+            ViT,
+            fused_vit_apply_int8,
+            prepare_vit_int8,
+            prepare_vit_int8_static,
+        )
 
         if isinstance(model, SwinTransformer):
+            if args.kernel_mode == "int8_static":
+                raise SystemExit(
+                    "--kernel-mode int8_static is ViT/DeiT-only for now "
+                    "(Swin runs dynamic int8 via --kernel-mode int8)")
             prep = prepare_swin_fused(model, params)
             q = prepare_swin_int8(model, params)
             if not q:
@@ -89,11 +100,17 @@ def cmd_benchmark(argv):
                     f"{args.model}: no stage qualifies for the int8 "
                     "whole-stage kernel — the result would silently be the "
                     "bf16 fused path; use --kernel-mode fused instead")
+            n_stages = len(model.config.depths)
+            print(f"int8 stages: {sorted(q)} of {list(range(n_stages))} "
+                  f"(others run bf16 fused — mixed-precision result)")
             fn = lambda p_, pp_, qq_, x_: fused_swin_apply(
                 model, p_, x_, prepared=pp_, int8_prepared=qq_)
             extra = (prep, q)
         elif isinstance(model, ViT):
-            sq = prepare_vit_int8(model, params)
+            if args.kernel_mode == "int8_static":
+                sq = prepare_vit_int8_static(model, params)
+            else:
+                sq = prepare_vit_int8(model, params)
             fn = lambda p_, sq_, x_: fused_vit_apply_int8(model, p_, x_, sq_)
             extra = (sq,)
         else:
@@ -176,6 +193,11 @@ def cmd_convert(argv):
     p.add_argument("--checkpoint", default=None, help="input checkpoint dir")
     p.add_argument("--output", required=True)
     p.add_argument("--style", default="standard")
+    p.add_argument("--calib-batches", type=int, default=100,
+                   help="int8: representative random-normal batches "
+                        "(reference utils.py:265-269 uses 100)")
+    p.add_argument("--calib-percentile", type=float, default=None,
+                   help="int8: abs-percentile calibration instead of absmax")
     args = p.parse_args(argv)
 
     from .ops.quant import cast_params, quantize_vit_params_int8
@@ -187,15 +209,97 @@ def cmd_convert(argv):
     if args.checkpoint:
         params = load_checkpoint(args.checkpoint, params)
 
-    if args.quantization in ("float16", "bfloat16"):
-        out = cast_params(params, jnp.float16 if args.quantization == "float16" else jnp.bfloat16)
-    else:  # dynamic / int8
-        out = quantize_vit_params_int8(params)
-    save_checkpoint(args.output, out, meta={
+    meta = {
         "model": args.model, "quantization": args.quantization,
         "style": args.style,
-    })
+    }
+    if args.quantization in ("float16", "bfloat16"):
+        out = cast_params(params, jnp.float16 if args.quantization == "float16" else jnp.bfloat16)
+    elif args.quantization == "dynamic":
+        out = quantize_vit_params_int8(params)
+    else:  # int8 = FULL-INTEGER static: calibrate on representative data
+        # (the converter's TFLITE_BUILTINS_INT8 path, utils.py:263-277)
+        import numpy as np
+
+        from .ops.quant import calibrate_vit, quantize_vit_params_int8_static
+
+        scales = calibrate_vit(model, params, n=args.calib_batches,
+                               percentile=args.calib_percentile)
+        out = quantize_vit_params_int8_static(params, scales)
+        meta["act_scales"] = np.asarray(scales).tolist()
+        meta["calib_batches"] = args.calib_batches
+        print(f"calibrated {scales.shape[0]} layers x {scales.shape[1]} "
+              f"activation scales on {args.calib_batches} batches")
+    save_checkpoint(args.output, out, meta=meta)
     print(f"saved {args.quantization} checkpoint -> {args.output}")
+
+
+def cmd_quant_accuracy(argv):
+    """Quantization accuracy-delta table: fp32 vs bf16 / dynamic-int8 /
+    static-int8 logit drift + argmax agreement (the reference's quant-op-test
+    methodology, experiments/D1118_quant_op_test.py, applied whole-model)."""
+    p = argparse.ArgumentParser(prog="quant_accuracy")
+    p.add_argument("--model", default="deit_tiny")
+    p.add_argument("--style", default="standard")
+    p.add_argument("--from-hf", default=None,
+                   help="optional HF checkpoint for real weights")
+    p.add_argument("--batches", type=int, default=8)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--calib-batches", type=int, default=32)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from .ops.quant import (
+        calibrate_vit,
+        cast_params,
+        int8_vit_apply,
+        int8_vit_apply_static,
+        quantize_vit_params_int8,
+        quantize_vit_params_int8_static,
+        representative_batches,
+    )
+
+    model, in_shape = _build_model(args.model, args.style, dtype="float32")
+    x0 = jnp.ones((1,) + in_shape)
+    if args.from_hf:
+        from .utils.hf_import import import_hf_vit
+
+        params = import_hf_vit(args.from_hf, model)
+    else:
+        params = model.init(jax.random.key(0), x0)
+
+    scales = calibrate_vit(model, params, n=args.calib_batches)
+    qdyn = quantize_vit_params_int8(params)
+    qstat = quantize_vit_params_int8_static(params, scales)
+    pbf16 = cast_params(params, jnp.bfloat16)
+
+    modes = {
+        "bf16": jax.jit(lambda x: model.apply(pbf16, x.astype(jnp.bfloat16))),
+        "dynamic_int8": jax.jit(lambda x: int8_vit_apply(model, qdyn, x)),
+        "static_int8": jax.jit(lambda x: int8_vit_apply_static(model, qstat, x)),
+    }
+    ref_fn = jax.jit(lambda x: model.apply(params, x))
+
+    stats = {m: {"max_abs": 0.0, "max_rel": 0.0, "agree": 0, "n": 0}
+             for m in modes}
+    for batch in representative_batches(args.batches, args.batch, in_shape,
+                                        seed=1234):
+        xb = jnp.asarray(batch)
+        ref = np.asarray(ref_fn(xb))
+        denom = np.abs(ref).max() + 1e-9
+        for m, fn in modes.items():
+            got = np.asarray(fn(xb)).astype(np.float32)
+            st = stats[m]
+            st["max_abs"] = max(st["max_abs"], float(np.abs(got - ref).max()))
+            st["max_rel"] = max(st["max_rel"], float(np.abs(got - ref).max() / denom))
+            st["agree"] += int((got.argmax(-1) == ref.argmax(-1)).sum())
+            st["n"] += ref.shape[0]
+    print(f"{'mode':<14} {'max|dlogit|':>12} {'max rel':>9} {'argmax agree':>13}")
+    for m, st in stats.items():
+        print(f"{m:<14} {st['max_abs']:>12.4f} {st['max_rel']:>9.4f} "
+              f"{st['agree']}/{st['n']:>8}")
+    print(json.dumps({m: {k: v for k, v in st.items()} for m, st in stats.items()}))
 
 
 def cmd_export(argv):
@@ -256,7 +360,8 @@ def cmd_eval(argv):
     # cross-implementation consistency (the reference's cross-runtime eval:
     # onnx vs tflite vs tf, SURVEY.md §4.3) — xla vs fused kernel vs int8
     p.add_argument("--impl", default="xla",
-                   choices=["xla", "fused", "int8", "int8_fused"])
+                   choices=["xla", "fused", "int8", "int8_fused",
+                            "int8_static", "int8_static_fused"])
     args = p.parse_args(argv)
 
     from .utils.checkpoint import load_checkpoint
@@ -275,12 +380,28 @@ def cmd_eval(argv):
 
         params = quantize_vit_params_int8(params)
         apply_fn = lambda p_, x_: int8_vit_apply(model, p_, x_)
-    elif args.impl == "int8_fused":
-        from .models.vit import fused_vit_apply_int8, prepare_vit_int8
+    elif args.impl == "int8_static":
+        from .ops.quant import (
+            calibrate_vit,
+            int8_vit_apply_static,
+            quantize_vit_params_int8_static,
+        )
+
+        params = quantize_vit_params_int8_static(
+            params, calibrate_vit(model, params))
+        apply_fn = lambda p_, x_: int8_vit_apply_static(model, p_, x_)
+    elif args.impl in ("int8_fused", "int8_static_fused"):
+        from .models.vit import (
+            fused_vit_apply_int8,
+            prepare_vit_int8,
+            prepare_vit_int8_static,
+        )
 
         # bundle the quantized stack into the params pytree so evaluate()'s
         # jit receives it as an argument, not a closed-over HLO constant
-        sq = prepare_vit_int8(model, params)
+        sq = (prepare_vit_int8_static(model, params)
+              if args.impl == "int8_static_fused"
+              else prepare_vit_int8(model, params))
         params = {"v": params, "sq": sq}
         apply_fn = lambda p_, x_: fused_vit_apply_int8(model, p_["v"], x_, p_["sq"])
     else:
@@ -732,6 +853,7 @@ COMMANDS = {
     "analyse_gelu_ln": lambda a: _analyse("analyse_gelu_ln", a),
     "fetch_all_op_latency": lambda a: _analyse("fetch_all_op_latency", a),
     "convert": cmd_convert,
+    "quant_accuracy": cmd_quant_accuracy,
     "export": cmd_export,
     "eval": cmd_eval,
     "prune_heads": cmd_prune_heads,

@@ -375,16 +375,46 @@ def prepare_vit_int8(model: ViT, variables) -> dict:
     return quantize_stacked_int8(stacked)
 
 
+def prepare_vit_int8_static(model: ViT, variables,
+                            act_scales=None, calib_batches=None,
+                            percentile: float | None = None) -> dict:
+    """Static (full-integer-style) int8 prep: calibrate activation scales on
+    representative data (ops/quant.calibrate_vit — the converter's
+    representative_data_gen analogue, /root/reference/utils.py:263-277) and
+    fold them into the quantized stack.  The result feeds
+    fused_vit_apply_int8, which then quantizes activations with FIXED
+    per-tensor scales — no per-row dynamic absmax at inference."""
+    from ..ops.pallas.fused_encoder import (
+        quantize_stacked_int8_static,
+        stack_vit_layer_params,
+    )
+    from ..ops.quant import calibrate_vit
+
+    cfg = model.config
+    if act_scales is None:
+        act_scales = calibrate_vit(model, variables, batches=calib_batches,
+                                   percentile=percentile)
+    stacked = stack_vit_layer_params(variables["params"], cfg.depth, cfg.qkv_bias)
+    return quantize_stacked_int8_static(stacked, act_scales)
+
+
 def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
                          stacked_q: dict | None = None,
-                         batch_block: int | None = None) -> jax.Array:
+                         batch_block: int | None = None,
+                         variant: str = "auto") -> jax.Array:
     """Forward with the int8-weight-streaming whole-encoder kernel.
 
-    Dynamic-range semantics == ops/quant.int8_vit_apply (per-row activation
-    quant x per-channel weight scales, the TFLite dynamic mode analogue,
+    With a ``prepare_vit_int8`` stack: dynamic-range semantics ==
+    ops/quant.int8_vit_apply (per-row activation quant x per-channel weight
+    scales, the TFLite dynamic mode analogue,
     /root/reference/utils.py:260-262) — but the weights cross HBM as int8,
-    halving the traffic that bounds DeiT-Base b1.  Embedding and head stay
-    float, like the reference's dynamic mode.
+    halving the traffic that bounds DeiT-Base b1.  With a
+    ``prepare_vit_int8_static`` stack: full-integer-style static scales
+    (TFLITE_BUILTINS_INT8 analogue).  Embedding and head stay float in both.
+
+    ``variant``: "auto" picks double-buffered pipelined when two layers of
+    int8 weights fit VMEM and the unroll budget allows (the bf16 gate of
+    fused_vit_apply, with itemsize=1); "streamed"/"pipelined" force a kernel.
     """
     cfg = model.config
     if cfg.norm_mode != "layernorm" or cfg.act != "gelu":
@@ -401,7 +431,12 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
     if stacked_q is None:
         stacked_q = prepare_vit_int8(model, variables)
 
-    from ..ops.pallas.fused_encoder import encoder_forward_int8
+    from ..ops.pallas.common import default_batch_block
+    from ..ops.pallas.fused_encoder import (
+        encoder_forward_int8,
+        encoder_forward_int8_pipelined,
+        pipelined_weights_fit,
+    )
 
     p = variables["params"]
     img = img.astype(cfg.dtype)
@@ -412,12 +447,31 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
     cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
     x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
 
-    x = encoder_forward_int8(
-        x, stacked_q,
-        heads=heads, head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
-        reference_residual=cfg.reference_residual,
-        approx_gelu=cfg.gelu_approx, batch_block=batch_block,
-    )
+    inner = stacked_q["qkv_w"].shape[2]
+    mlp_d = stacked_q["fc1_w"].shape[2]
+    bm_eff = (batch_block if batch_block is not None
+              else default_batch_block(cfg.dim))
+    bm_eff = min(bm_eff, img.shape[0])
+    iters = cfg.depth * heads * bm_eff
+    fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, heads,
+                                 cfg.resolved_head_dim, itemsize=1)
+    if variant == "pipelined" or (
+        variant == "auto" and fits and (iters <= 96 or bm_eff == 1)
+    ):
+        x = encoder_forward_int8_pipelined(
+            x, stacked_q,
+            heads=heads, head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
+            reference_residual=cfg.reference_residual,
+            approx_gelu=cfg.gelu_approx, batch_block=batch_block,
+            unroll=iters <= 96,
+        )
+    else:
+        x = encoder_forward_int8(
+            x, stacked_q,
+            heads=heads, head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
+            reference_residual=cfg.reference_residual,
+            approx_gelu=cfg.gelu_approx, batch_block=batch_block,
+        )
 
     if cfg.final_norm:
         x = layer_norm(

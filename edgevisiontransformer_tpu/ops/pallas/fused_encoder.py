@@ -716,8 +716,25 @@ def _int8_mm(h, wq_ref, ws_ref):
     return acc.astype(jnp.float32) * s * ws_ref[0]
 
 
+def _int8_mm_static(h, wq, cs, inv_a):
+    """Static-scale int8 matmul: quantize h with the CALIBRATED per-tensor
+    scale (scalar ``inv_a`` = 1/act_scale from SMEM) — no per-row absmax
+    reduction or reciprocal — then dequantize with the combined
+    (w_scale * act_scale) per-channel row ``cs``.  The full-integer analogue
+    of _int8_mm (TFLITE_BUILTINS_INT8, /root/reference/utils.py:263-277).
+    ``wq``/``cs`` are VALUES (works for both streamed blocks and pipelined
+    buffers)."""
+    hf = h.astype(jnp.float32)
+    q = jnp.clip(jnp.round(hf * inv_a), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * cs
+
+
 def _encoder_kernel_int8(
     x_ref,
+    act_inv_ref,
     ln1_g_ref, ln1_b_ref,
     qkv_w_ref, qkv_s_ref, qkv_b_ref,
     out_w_ref, out_s_ref, out_b_ref,
@@ -736,6 +753,7 @@ def _encoder_kernel_int8(
     scale: float,
     reference_residual: bool,
     approx_gelu: bool,
+    static_acts: bool = False,
 ):
     li = pl.program_id(1)
 
@@ -746,9 +764,14 @@ def _encoder_kernel_int8(
     x = x_scratch[:]
     dtype = x.dtype
 
+    def mm(h, w_ref, s_ref, j):
+        if static_acts:
+            return _int8_mm_static(h, w_ref[0], s_ref[0], act_inv_ref[0, j])
+        return _int8_mm(h, w_ref, s_ref)
+
     # ---- attention sublayer ----
     h = _ln(x, ln1_g_ref[0], ln1_b_ref[0], eps).astype(dtype)
-    qkv = (_int8_mm(h, qkv_w_ref, qkv_s_ref)
+    qkv = (mm(h, qkv_w_ref, qkv_s_ref, 0)
            + qkv_b_ref[0].astype(jnp.float32)).astype(dtype)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
@@ -757,7 +780,7 @@ def _encoder_kernel_int8(
                           head_dim=head_dim, key_mask=key_mask, scale=scale,
                           dtype=dtype)
 
-    attn_out = _int8_mm(att, out_w_ref, out_s_ref) + out_b_ref[0].astype(jnp.float32)
+    attn_out = mm(att, out_w_ref, out_s_ref, 1) + out_b_ref[0].astype(jnp.float32)
     if reference_residual:
         x = (attn_out + h.astype(jnp.float32)).astype(dtype)
     else:
@@ -765,10 +788,10 @@ def _encoder_kernel_int8(
 
     # ---- MLP sublayer ----
     h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
-    hid = (_int8_mm(h2, fc1_w_ref, fc1_s_ref)
+    hid = (mm(h2, fc1_w_ref, fc1_s_ref, 2)
            + fc1_b_ref[0].astype(jnp.float32)).astype(dtype)
     hid = gelu_kernel(hid, approx_gelu).astype(dtype)
-    mlp_out = _int8_mm(hid, fc2_w_ref, fc2_s_ref) + fc2_b_ref[0].astype(jnp.float32)
+    mlp_out = mm(hid, fc2_w_ref, fc2_s_ref, 3) + fc2_b_ref[0].astype(jnp.float32)
     if reference_residual:
         x = (mlp_out + h2.astype(jnp.float32)).astype(dtype)
     else:
@@ -797,6 +820,26 @@ def quantize_stacked_int8(stacked: dict,
     return out
 
 
+def quantize_stacked_int8_static(stacked: dict, act_scales,
+                                 keys=("qkv_w", "out_w", "fc1_w", "fc2_w")) -> dict:
+    """Static (full-integer-style) int8 stack: quantize_stacked_int8 plus
+    calibrated per-(layer, matmul) activation scales.
+
+    ``act_scales`` [L, len(keys)] fp32 (ops/quant.calibrate_vit output) is
+    FOLDED into the per-channel weight scales (one dequant multiply in-kernel)
+    and exported inverted as ``act_inv`` [L, len(keys)] for the SMEM
+    quantization scalars."""
+    import numpy as np
+
+    out = quantize_stacked_int8(stacked, keys)
+    act = jnp.asarray(np.asarray(act_scales, np.float32))
+    for j, key in enumerate(keys):
+        skey = key.replace("_w", "_s")
+        out[skey] = out[skey] * act[:, j][:, None, None]
+    out["act_inv"] = (1.0 / act).astype(jnp.float32)
+    return out
+
+
 def encoder_forward_int8(
     x: jax.Array,
     stacked_q: dict,
@@ -811,12 +854,19 @@ def encoder_forward_int8(
 ) -> jax.Array:
     """Whole-encoder kernel with int8 weight streaming + dynamic activation
     quantization.  stacked_q = quantize_stacked_int8(stack_vit_layer_params(...)).
+
+    If ``stacked_q`` carries ``act_inv`` (quantize_stacked_int8_static), the
+    kernel runs in STATIC mode: activations quantize with calibrated
+    per-tensor scales from SMEM instead of per-row dynamic absmax.
     """
     b, n, dim = x.shape
     depth = stacked_q["qkv_w"].shape[0]
     inner = stacked_q["qkv_w"].shape[2]
     mlp = stacked_q["fc1_w"].shape[2]
     n_pad = round_up(n, n_pad_multiple)
+    static_acts = "act_inv" in stacked_q
+    act_inv = (stacked_q["act_inv"] if static_acts
+               else jnp.ones((depth, 4), jnp.float32))
 
     if batch_block is not None:
         bm = batch_block
@@ -839,6 +889,7 @@ def encoder_forward_int8(
         bm=bm, n_pad=n_pad, heads=heads, head_dim=head_dim, seq_len=n,
         eps=eps, scale=head_dim**-0.5,
         reference_residual=reference_residual, approx_gelu=approx_gelu,
+        static_acts=static_acts,
     )
 
     out = pl.pallas_call(
@@ -848,6 +899,8 @@ def encoder_forward_int8(
             pl.BlockSpec(
                 (bm * n_pad, dim), lambda bi, li: (bi, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec((1, 4), lambda bi, li: (li, 0),
+                         memory_space=pltpu.SMEM),                 # act_inv
             wspec((1, dim)), wspec((1, dim)),              # ln1
             wspec((dim, inner)), wspec((1, inner)), wspec((1, inner)),   # qkv
             wspec((heads * head_dim, dim)), wspec((1, dim)), wspec((1, dim)),  # out
@@ -877,6 +930,7 @@ def encoder_forward_int8(
         ),
     )(
         xp,
+        act_inv,
         stacked_q["ln1_g"], stacked_q["ln1_b"],
         stacked_q["qkv_w"], stacked_q["qkv_s"], stacked_q["qkv_b"],
         stacked_q["out_w"], stacked_q["out_s"], stacked_q["out_b"],
@@ -907,6 +961,7 @@ def _int8_mm_buf(h, wq, ws):
 
 def _encoder_kernel_int8_pipelined(
     x_ref,
+    act_inv,                                     # SMEM [L, 4] f32
     ln1_g, ln1_b, qkv_s, qkv_b, out_s, out_b,
     ln2_g, ln2_b, fc1_s, fc1_b, fc2_s, fc2_b,   # VMEM [L, 1, d]
     qkv_w_hbm, out_w_hbm, fc1_w_hbm, fc2_w_hbm,  # ANY [L, in, out] int8
@@ -925,6 +980,7 @@ def _encoder_kernel_int8_pipelined(
     reference_residual: bool,
     approx_gelu: bool,
     unroll: bool,
+    static_acts: bool = False,
 ):
     pairs = (
         (qkv_w_hbm, qkv_buf),
@@ -948,21 +1004,27 @@ def _encoder_kernel_int8_pipelined(
 
     def layer(li, slot, x):
         dim = x.shape[-1]
+
+        def mm(h, buf, s, j):
+            if static_acts:
+                return _int8_mm_static(h, buf[slot], s[li], act_inv[li, j])
+            return _int8_mm_buf(h, buf[slot], s[li])
+
         h = _ln(x, ln1_g[li], ln1_b[li], eps).astype(dtype)
-        qkv = (_int8_mm_buf(h, qkv_buf[slot], qkv_s[li])
+        qkv = (mm(h, qkv_buf, qkv_s, 0)
                + qkv_b[li].astype(jnp.float32)).astype(dtype)
         att = _attention_rows(qkv, bm=bm, n_pad=n_pad, heads=heads,
                               head_dim=head_dim, key_mask=key_mask,
                               scale=scale, dtype=dtype)
-        attn_out = (_int8_mm_buf(att, out_buf[slot], out_s[li])[:, :dim]
+        attn_out = (mm(att, out_buf, out_s, 1)[:, :dim]
                     + out_b[li].astype(jnp.float32))
         x = (attn_out + (h if reference_residual else x).astype(jnp.float32)).astype(dtype)
 
         h2 = _ln(x, ln2_g[li], ln2_b[li], eps).astype(dtype)
-        hid = (_int8_mm_buf(h2, fc1_buf[slot], fc1_s[li])
+        hid = (mm(h2, fc1_buf, fc1_s, 2)
                + fc1_b[li].astype(jnp.float32)).astype(dtype)
         hid = gelu_kernel(hid, approx_gelu).astype(dtype)
-        mlp_out = (_int8_mm_buf(hid, fc2_buf[slot], fc2_s[li])[:, :dim]
+        mlp_out = (mm(hid, fc2_buf, fc2_s, 3)[:, :dim]
                    + fc2_b[li].astype(jnp.float32))
         return (mlp_out + (h2 if reference_residual else x).astype(jnp.float32)).astype(dtype)
 
@@ -1008,12 +1070,16 @@ def encoder_forward_int8_pipelined(
     unroll: bool = True,
 ) -> jax.Array:
     """Int8-weight whole-encoder kernel with double-buffered weight DMA.
-    Same contract (and numerics) as encoder_forward_int8."""
+    Same contract (and numerics) as encoder_forward_int8 — including the
+    STATIC mode when ``stacked_q`` carries ``act_inv``."""
     b, n, dim = x.shape
     depth = stacked_q["qkv_w"].shape[0]
     inner = stacked_q["qkv_w"].shape[2]
     mlp = stacked_q["fc1_w"].shape[2]
     n_pad = round_up(n, n_pad_multiple)
+    static_acts = "act_inv" in stacked_q
+    act_inv = (stacked_q["act_inv"] if static_acts
+               else jnp.ones((depth, 4), jnp.float32))
 
     bm = batch_block if batch_block is not None else default_batch_block(dim)
     bm = min(bm, b)
@@ -1048,7 +1114,7 @@ def encoder_forward_int8_pipelined(
         depth=depth, bm=bm, n_pad=n_pad, heads=heads, head_dim=head_dim,
         seq_len=n, eps=eps, scale=head_dim**-0.5,
         reference_residual=reference_residual, approx_gelu=approx_gelu,
-        unroll=unroll,
+        unroll=unroll, static_acts=static_acts,
     )
 
     wbytes2 = 2 * (dim * inner_p + heads * head_dim * dim_p + dim * mlp_p
@@ -1064,6 +1130,7 @@ def encoder_forward_int8_pipelined(
         in_specs=[
             pl.BlockSpec((bm * n_pad, dim), lambda bi: (bi, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # act_inv [L, 4]
         ] + [vres()] * 12 + [hbm()] * 4,
         out_specs=pl.BlockSpec((bm * n_pad, dim), lambda bi: (bi, 0),
                                memory_space=pltpu.VMEM),
@@ -1092,6 +1159,7 @@ def encoder_forward_int8_pipelined(
         ),
     )(
         xp,
+        act_inv,
         stacked_q["ln1_g"], stacked_q["ln1_b"], qkv_s, qkv_b,
         out_s, stacked_q["out_b"],
         stacked_q["ln2_g"], stacked_q["ln2_b"], fc1_s, fc1_b,

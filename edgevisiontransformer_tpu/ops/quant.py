@@ -224,19 +224,208 @@ def int8_vit_apply(model, qparams: Dict, img: jax.Array) -> jax.Array:
 def calibrate_activation_scales(
     apply_collect: Callable[[jax.Array], Dict[str, jax.Array]],
     batches,
+    percentile: float | None = None,
 ) -> Dict[str, float]:
     """Run representative batches, record per-tensor absmax -> scale.
 
     ``apply_collect`` returns {tensor_name: activation} per batch (the
     analogue of the converter's representative_data_gen pass,
-    utils.py:263-277: 100 random-normal batches in the reference)."""
+    utils.py:263-277: 100 random-normal batches in the reference).
+
+    ``percentile`` (e.g. 99.9) clips outliers: the per-batch abs-percentile
+    is taken instead of absmax, and the max over batches is kept (an
+    approximation of the global percentile that avoids storing every
+    activation)."""
     maxes: Dict[str, float] = {}
     for batch in batches:
         acts = apply_collect(jnp.asarray(batch))
         for name, a in acts.items():
-            m = float(jnp.max(jnp.abs(a)))
+            aa = jnp.abs(a)
+            m = float(jnp.percentile(aa, percentile) if percentile is not None
+                      else jnp.max(aa))
             maxes[name] = max(maxes.get(name, 0.0), m)
     return {k: (v / 127.0 if v > 0 else 1.0) for k, v in maxes.items()}
+
+
+# Per-layer matmul-input names, in the order the static kernels consume them.
+VIT_ACT_KEYS = ("qkv_in", "out_in", "fc1_in", "fc2_in")
+
+
+def vit_collect_matmul_inputs(model, variables, img: jax.Array) -> Dict[str, jax.Array]:
+    """Float forward that records every encoder matmul INPUT activation.
+
+    Returns {"block_{i}/qkv_in" | "out_in" | "fc1_in" | "fc2_in": array}.
+    These are the tensors the static-int8 kernels quantize with calibrated
+    per-tensor scales (the converter's representative-dataset pass,
+    /root/reference/utils.py:263-277).
+    """
+    from ..models.vit import ViT  # noqa
+    from .activations import get_gelu
+    from .attention import merge_heads, qkv_split, sdpa
+    from .layers import layer_norm, patch_embed
+
+    cfg = model.config
+    p = variables["params"] if "params" in variables else variables
+    img = img.astype(cfg.dtype)
+    x = patch_embed(img, p["patch_kernel"].astype(cfg.dtype),
+                    p["patch_bias"].astype(cfg.dtype), cfg.patch_size)
+    cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
+    x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
+
+    act = get_gelu(cfg.gelu_approx)
+    hd = cfg.resolved_head_dim
+    out: Dict[str, jax.Array] = {}
+    for i in range(cfg.depth):
+        blk = p[f"block_{i}"]
+        heads = cfg.layer_heads(i)
+        h = layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], cfg.layernorm_eps)
+        out[f"block_{i}/qkv_in"] = h
+        qkv = h @ blk["attn"]["qkv_kernel"].astype(h.dtype)
+        if cfg.qkv_bias:
+            qkv = qkv + blk["attn"]["qkv_bias"].astype(qkv.dtype)
+        q, k, v = qkv_split(qkv, heads, hd)
+        ctx = merge_heads(sdpa(q, k, v, scale=hd**-0.5))
+        out[f"block_{i}/out_in"] = ctx
+        attn_out = ctx @ blk["attn"]["out_kernel"].astype(ctx.dtype)
+        attn_out = attn_out + blk["attn"]["out_bias"].astype(attn_out.dtype)
+        x = (attn_out + h) if cfg.reference_residual else (x + attn_out)
+
+        h2 = layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], cfg.layernorm_eps)
+        out[f"block_{i}/fc1_in"] = h2
+        hid = act(h2 @ blk["ffn"]["fc1_kernel"].astype(h2.dtype)
+                  + blk["ffn"]["fc1_bias"].astype(h2.dtype))
+        out[f"block_{i}/fc2_in"] = hid
+        mlp = hid @ blk["ffn"]["fc2_kernel"].astype(hid.dtype)
+        mlp = mlp + blk["ffn"]["fc2_bias"].astype(mlp.dtype)
+        x = (mlp + h2) if cfg.reference_residual else (x + mlp)
+    return out
+
+
+def calibrate_vit(model, variables, batches=None, n: int = 100,
+                  percentile: float | None = None) -> np.ndarray:
+    """Calibrate a ViT's encoder matmul-input scales on representative data.
+
+    Returns act_scales [depth, 4] fp32 (columns in VIT_ACT_KEYS order) — the
+    input to prepare_vit_int8_static / quantize_vit_params_int8_static.
+    ``batches`` defaults to the reference's 100 random-normal images
+    (utils.py:265-269).
+    """
+    import functools
+
+    if batches is None:
+        batches = representative_batches(
+            n=n, shape=(3, model.config.image_size, model.config.image_size))
+    collect = jax.jit(functools.partial(vit_collect_matmul_inputs, model, variables))
+    scales = calibrate_activation_scales(collect, batches, percentile=percentile)
+    depth = model.config.depth
+    out = np.ones((depth, len(VIT_ACT_KEYS)), np.float32)
+    for i in range(depth):
+        for j, key in enumerate(VIT_ACT_KEYS):
+            out[i, j] = scales[f"block_{i}/{key}"]
+    return out
+
+
+def quantize_activation_static(x: jax.Array, scale) -> jax.Array:
+    """Per-tensor static activation quant with a precomputed (calibrated)
+    scale — no runtime absmax reduction (the full-integer analogue of
+    quantize_activation_rows)."""
+    return jnp.clip(jnp.round(x * (1.0 / scale)), -127, 127).astype(jnp.int8)
+
+
+def int8_matmul_static(x: jax.Array, wq: jax.Array, comb_scale: jax.Array,
+                       act_scale) -> jax.Array:
+    """Static int8 matmul: int8(x/act_scale) @ int8 weights -> int32,
+    dequantized by the COMBINED per-channel scale (w_scale * act_scale,
+    folded at prep time)."""
+    orig_shape = x.shape
+    xq = quantize_activation_static(x.reshape(-1, orig_shape[-1]), act_scale)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * comb_scale[None, :]
+    return out.astype(x.dtype).reshape(orig_shape[:-1] + (wq.shape[1],))
+
+
+def quantize_vit_params_int8_static(params: Dict, act_scales: np.ndarray) -> Dict:
+    """Static-int8 ViT param tree: each encoder matmul kernel leaf becomes
+    {"q": int8, "scale": f32[out] COMBINED (w*act), "act_scale": f32 scalar}.
+
+    The TFLITE_BUILTINS_INT8 analogue of quantize_vit_params_int8
+    (/root/reference/utils.py:263-277): activation scales are fixed at
+    convert time from calibration, not computed per row at runtime."""
+    act_scales = np.asarray(act_scales, np.float32)
+    p = params["params"] if "params" in params else params
+    new_p = dict(p)
+    for name, blk in p.items():
+        if not name.startswith("block_"):
+            continue
+        i = int(name.split("_")[1])
+        blk = jax.tree.map(lambda x: x, blk)
+        for j, (sub, key) in enumerate(_VIT_MATMUL_KEYS):
+            w = blk[sub][key]
+            q, s = quantize_weight_int8(w)
+            a = float(act_scales[i, j])
+            blk[sub] = dict(blk[sub])
+            blk[sub][key] = {"q": q, "scale": s * a,
+                             "act_scale": jnp.float32(a)}
+        new_p[name] = blk
+    return {"params": new_p} if "params" in params else new_p
+
+
+def int8_vit_apply_static(model, qparams: Dict, img: jax.Array) -> jax.Array:
+    """Forward pass with static (full-integer-style) int8 encoder matmuls.
+
+    Same structure as int8_vit_apply but every activation is quantized with
+    its calibrated per-tensor scale (qparams from
+    quantize_vit_params_int8_static) — the XLA-level numerics oracle for the
+    static fused kernels."""
+    from ..models.vit import ViT  # noqa
+    from .activations import get_gelu
+    from .attention import merge_heads, qkv_split, sdpa
+    from .layers import layer_norm, patch_embed
+
+    cfg = model.config
+    p = qparams["params"] if "params" in qparams else qparams
+    img = img.astype(cfg.dtype)
+    x = patch_embed(img, p["patch_kernel"].astype(cfg.dtype),
+                    p["patch_bias"].astype(cfg.dtype), cfg.patch_size)
+    cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
+    x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
+
+    act = get_gelu(cfg.gelu_approx)
+    hd = cfg.resolved_head_dim
+
+    def mm(x_, leaf):
+        return int8_matmul_static(x_, leaf["q"], leaf["scale"], leaf["act_scale"])
+
+    for i in range(cfg.depth):
+        blk = p[f"block_{i}"]
+        heads = cfg.layer_heads(i)
+        h = layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], cfg.layernorm_eps)
+        qkv = mm(h, blk["attn"]["qkv_kernel"])
+        if cfg.qkv_bias:
+            qkv = qkv + blk["attn"]["qkv_bias"].astype(qkv.dtype)
+        q, k, v = qkv_split(qkv, heads, hd)
+        ctx = merge_heads(sdpa(q, k, v, scale=hd**-0.5))
+        attn_out = mm(ctx, blk["attn"]["out_kernel"])
+        attn_out = attn_out + blk["attn"]["out_bias"].astype(attn_out.dtype)
+        x = (attn_out + h) if cfg.reference_residual else (x + attn_out)
+
+        h2 = layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], cfg.layernorm_eps)
+        hid = act(mm(h2, blk["ffn"]["fc1_kernel"])
+                  + blk["ffn"]["fc1_bias"].astype(x.dtype))
+        mlp = mm(hid, blk["ffn"]["fc2_kernel"])
+        mlp = mlp + blk["ffn"]["fc2_bias"].astype(mlp.dtype)
+        x = (mlp + h2) if cfg.reference_residual else (x + mlp)
+
+    if cfg.final_norm:
+        x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
+                       cfg.layernorm_eps)
+    x = x[:, 0]
+    if cfg.mlp_head:
+        h = act(x @ p["head_fc1"]["kernel"] + p["head_fc1"]["bias"])
+        return h @ p["head_fc2"]["kernel"] + p["head_fc2"]["bias"]
+    return x @ p["head"]["kernel"] + p["head"]["bias"]
 
 
 def representative_batches(n: int = 100, batch: int = 1, shape=(3, 224, 224), seed=0):

@@ -59,6 +59,35 @@ def test_convert_cmd(tmp_path, capsys):
     assert meta["quantization"] == "dynamic"
 
 
+def test_convert_int8_static_differs_from_dynamic(tmp_path, capsys):
+    """convert --quantization int8 must run the calibration pass and save
+    activation scales (the full-integer mode the reference gets from
+    TFLITE_BUILTINS_INT8) — NOT the dynamic path."""
+    out_dir = tmp_path / "ckpt8"
+    assert main([
+        "convert", "--model", "deit_tiny", "--quantization", "int8",
+        "--calib-batches", "2", "--output", str(out_dir),
+    ]) == 0
+    meta = json.loads((out_dir / "meta.json").read_text())
+    assert meta["quantization"] == "int8"
+    scales = np.asarray(meta["act_scales"])
+    assert scales.shape == (12, 4) and (scales > 0).all()
+    assert "calibrated" in capsys.readouterr().out
+
+
+def test_quant_accuracy_cmd(capsys):
+    assert main([
+        "quant_accuracy", "--model", "deit_tiny", "--batches", "1",
+        "--batch", "2", "--calib-batches", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "static_int8" in out and "dynamic_int8" in out
+    table = json.loads(out.strip().splitlines()[-1])
+    # quantized logits stay in a sane envelope on random init
+    assert table["static_int8"]["max_rel"] < 0.5
+    assert table["dynamic_int8"]["max_rel"] < 0.5
+
+
 def test_eval_cmd_impl_consistency(tmp_path, capsys):
     """Same tiny ImageFolder through xla and int8 impls (cross-runtime
     consistency analogue)."""

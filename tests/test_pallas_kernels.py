@@ -266,6 +266,42 @@ def test_int8_fused_encoder_matches_xla_int8():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(got), rtol=0, atol=0)
 
 
+def test_int8_static_fused_matches_xla_static():
+    """Static-scale int8 kernels (streamed + pipelined) must reproduce the
+    XLA static path (ops/quant.int8_vit_apply_static): calibrated per-tensor
+    activation scales, combined dequant multipliers."""
+    from edgevisiontransformer_tpu.models.vit import (
+        ViT,
+        deit_config,
+        fused_vit_apply_int8,
+        prepare_vit_int8_static,
+    )
+    from edgevisiontransformer_tpu.ops.quant import (
+        calibrate_vit,
+        int8_vit_apply_static,
+        quantize_vit_params_int8_static,
+    )
+
+    cfg = deit_config("tiny").replace(
+        image_size=32, patch_size=16, dim=64, depth=3, heads=2, mlp_dim=128,
+        num_classes=10,
+    )
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32))
+    v = model.init(jax.random.key(1), x)
+    calib = [np.asarray(jax.random.normal(jax.random.key(i), x.shape))
+             for i in range(2, 4)]
+    scales = calibrate_vit(model, v, batches=calib)
+
+    ref = int8_vit_apply_static(model, quantize_vit_params_int8_static(v, scales), x)
+    sq = prepare_vit_int8_static(model, v, act_scales=scales)
+    assert "act_inv" in sq
+    for variant in ("streamed", "pipelined"):
+        got = fused_vit_apply_int8(model, v, x, sq, variant=variant)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3, err_msg=variant)
+
+
 def test_fully_fused_pipelined_multistep_grid():
     """bm < b with bm % 8 != 0 pads the output block to 8 sublanes."""
     import jax.numpy as jnp
