@@ -264,12 +264,43 @@ def stage_transition_perm(res: int, w: int, shift: int, n_pad: int):
     return P
 
 
+def stage_transition_perm_banded(res: int, w: int, shift: int, n_pad: int):
+    """Banded factorization of stage_transition_perm for big stages.
+
+    The roll shift (w//2 < w) only ever moves a token's WINDOW ROW by one,
+    so in window-major layout the [R, R] one-hot P is block-BI-diagonal over
+    the nb = res//w window-row bands of Rb = nb*n_pad rows each:
+    band b of P@x sources only from bands {b, (b+1) % nb}.  Returns
+    (pL, pR) [nb, Rb, Rb] with
+
+        (P @ x)[band b]  = pL[b] @ x[band b] + pR[b] @ x[band (b+1) % nb]
+        (P.T @ x)[band b] = pL[b].T @ x[band b] + pR[b-1].T @ x[band b-1]
+
+    Memory 2*nb*Rb^2 vs R^2: stage 0 (res 56, w 7) drops from 25 MB bf16 to
+    6.4 MB, making the whole-stage kernel feasible (VERDICT round-2 item:
+    'separable/banded form instead of the 25 MB one-hot perm')."""
+    P = stage_transition_perm(res, w, shift, n_pad)
+    nb = res // w
+    rb = nb * n_pad
+    blocks = P.reshape(nb, rb, nb, rb)
+    pL = np.empty((nb, rb, rb), np.float32)
+    pR = np.empty((nb, rb, rb), np.float32)
+    for b in range(nb):
+        pL[b] = blocks[b, :, b]
+        pR[b] = blocks[b, :, (b + 1) % nb]
+        # any mass outside the two bands would silently corrupt the stage
+        other = blocks[b].sum() - pL[b].sum() - pR[b].sum()
+        assert other == 0.0, (res, w, shift, b, other)
+    return pL, pR
+
+
 def _swin_stage_kernel_pipelined(
     x_ref,
     ln1_g, ln1_b, qkv_b, proj_b, ln2_g, ln2_b, fc1_b, fc2_b,  # VMEM [L, 1, d]
     qkv_s, proj_s, fc1_s, fc2_s,  # VMEM [L, 1, out] f32 scales ([L,1,1] bf16 mode)
     mask_ref,    # VMEM [nwin, n_pad, n_pad] f32 (dummy [1,1,1] when unshifted)
-    perm_ref,    # VMEM [R, R] one-hot (dummy [1,1] when unshifted)
+    perm_ref,    # VMEM [R, R] one-hot (dummy [1,1] when unshifted/banded)
+    permL_ref, permR_ref,  # VMEM [nb, Rb, Rb] banded one-hot (dummy [1,1,1])
     qkv_w_hbm, proj_w_hbm, fc1_w_hbm, fc2_w_hbm,  # ANY  [L, in, out]
     bias_hbm,                                     # ANY  [L, H, n_pad, n_pad]
     o_ref,
@@ -289,6 +320,7 @@ def _swin_stage_kernel_pipelined(
     shifted: bool,
     unroll: bool,
     int8: bool = False,
+    banded: bool = False,
 ):
     pairs = (
         (qkv_w_hbm, qkv_buf),
@@ -315,14 +347,42 @@ def _swin_stage_kernel_pipelined(
         xg = x.reshape(gm, r, c)
         outs = []
         for g in range(gm):
-            if reverse:
+            if banded:
+                # block-bi-diagonal form (stage_transition_perm_banded):
+                # 2 matmuls of [Rb, Rb] @ [Rb, C] per window-row band instead
+                # of one [R, R] @ [R, C]
+                nb = permL_ref.shape[0]
+                rb = permL_ref.shape[1]
+                bands = []
+                for b in range(nb):
+                    xb = xg[g, b * rb:(b + 1) * rb]
+                    if reverse:
+                        bp = (b - 1) % nb
+                        xp_ = xg[g, bp * rb:(bp + 1) * rb]
+                        o = jax.lax.dot_general(
+                            permL_ref[b], xb, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        o += jax.lax.dot_general(
+                            permR_ref[bp], xp_, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    else:
+                        bn = (b + 1) % nb
+                        xn = xg[g, bn * rb:(bn + 1) * rb]
+                        o = jax.lax.dot(permL_ref[b], xb,
+                                        preferred_element_type=jnp.float32)
+                        o += jax.lax.dot(permR_ref[b], xn,
+                                         preferred_element_type=jnp.float32)
+                    bands.append(o.astype(dtype))
+                outs.append(jnp.concatenate(bands, 0))
+            elif reverse:
                 o = jax.lax.dot_general(
                     perm_ref[:], xg[g], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                outs.append(o.astype(dtype))
             else:
                 o = jax.lax.dot(perm_ref[:], xg[g],
                                 preferred_element_type=jnp.float32)
-            outs.append(o.astype(dtype))
+                outs.append(o.astype(dtype))
         return jnp.concatenate(outs, 0)
 
     def block(x, li, slot, use_mask):
@@ -452,21 +512,49 @@ def _swin_stage_kernel_pipelined(
     o_ref[:] = x
 
 
-def swin_stage_pipelined_fits(c: int, hidden: int, depth: int,
-                              itemsize: int = 2, *, nwin: int = 1,
-                              n_pad: int = 56, heads: int = 1) -> bool:
-    """True when the whole-stage pipelined kernel applies: double-buffered
-    weight+bias slots fit the VMEM budget, the transition-permutation matmul
-    stays cheap, and the depth matches the pair loop."""
+_STAGE_VMEM_HEADROOM = 40 * 1024 * 1024
+_STAGE_VMEM_CAP = 100 * 1024 * 1024
+# one-hot transition perms above this R switch to the banded factorization
+_PERM_BANDED_THRESHOLD = 1024
+
+
+def swin_stage_resident_bytes(c: int, hidden: int, itemsize: int, *,
+                              nwin: int, n_pad: int, heads: int) -> int:
+    """VMEM bytes of the whole-stage kernel's resident tensors: double-
+    buffered weight + bias slots, plus (shifted stages) the transition perm
+    (full or banded) and window mask.  The SINGLE source for both the fits
+    gate and the wrapper's vmem_limit — they must never drift (a limit set
+    below the gate's assumption is a compile-time OOM)."""
     c_p = round_up(c, 128)
     hid_p = round_up(hidden, 128)
     wb2 = 2 * itemsize * (c * round_up(3 * c, 128) + c * c_p
                           + c * hid_p + hid_p * c_p)
-    wb2 += 2 * 4 * heads * n_pad * n_pad          # bias slots (f32)
-    if nwin > 1 and (depth % 2 != 0 or nwin * n_pad > 1024):
+    wb2 += 2 * 4 * heads * n_pad * round_up(n_pad, 128)  # bias slots (f32)
+    if nwin > 1:
+        r_tot = nwin * n_pad
+        if r_tot > _PERM_BANDED_THRESHOLD:
+            nb = round(nwin ** 0.5)
+            rb = nb * n_pad
+            wb2 += 2 * nb * rb * rb * 2          # banded perm pair (bf16)
+        else:
+            wb2 += r_tot * r_tot * 2             # full one-hot perm (bf16)
+        wb2 += nwin * n_pad * n_pad * 4          # shifted window mask (f32)
+    return wb2
+
+
+def swin_stage_pipelined_fits(c: int, hidden: int, depth: int,
+                              itemsize: int = 2, *, nwin: int = 1,
+                              n_pad: int = 56, heads: int = 1) -> bool:
+    """True when the whole-stage pipelined kernel applies: double-buffered
+    weight+bias slots (+ perm/mask) fit the VMEM budget and the depth
+    matches the pair loop.  Big shifted stages (R > 1024, e.g. stage 0's
+    R = 3584) use the banded perm factorization instead of being rejected."""
+    if nwin > 1 and depth % 2 != 0:
         return False
+    wb2 = swin_stage_resident_bytes(c, hidden, itemsize, nwin=nwin,
+                                    n_pad=n_pad, heads=heads)
     return (depth % 2 == 0 or depth <= 8) and \
-        wb2 + 40 * 1024 * 1024 <= 100 * 1024 * 1024
+        wb2 + _STAGE_VMEM_HEADROOM <= _STAGE_VMEM_CAP
 
 
 def swin_stage_forward_pipelined(
@@ -553,29 +641,42 @@ def swin_stage_forward_pipelined(
     # the loaded bias back to [:, :n_pad] before use
     biases = pad_lane(biases)
 
+    banded = shifted and r_tot > _PERM_BANDED_THRESHOLD
     if shifted:
         shift = window // 2
         mp = jnp.zeros((nwin, n_pad, n_pad), jnp.float32)
         mp = mp.at[:, :n, :n].set(mask.astype(jnp.float32) * _LOG2E)
-        perm = jnp.asarray(stage_transition_perm(res, window, shift, n_pad),
-                           xw.dtype)
+        if banded:
+            pL, pR = stage_transition_perm_banded(res, window, shift, n_pad)
+            perm = jnp.zeros((1, 1), xw.dtype)
+            permL = jnp.asarray(pL, xw.dtype)
+            permR = jnp.asarray(pR, xw.dtype)
+        else:
+            perm = jnp.asarray(stage_transition_perm(res, window, shift,
+                                                     n_pad), xw.dtype)
+            permL = permR = jnp.zeros((1, 1, 1), xw.dtype)
     else:
         mp = jnp.zeros((1, 1, 1), jnp.float32)
         perm = jnp.zeros((1, 1), xw.dtype)
+        permL = permR = jnp.zeros((1, 1, 1), xw.dtype)
 
     kernel = functools.partial(
         _swin_stage_kernel_pipelined,
         depth=depth, gm=gm, nwin=nwin, n_pad=n_pad, heads=heads,
         head_dim=head_dim, eps=eps, scale=head_dim**-0.5 * _LOG2E,
         approx_gelu=approx_gelu, shifted=shifted, unroll=unroll,
-        int8=int8,
+        int8=int8, banded=banded,
     )
 
     itemsize = 1 if int8 else xw.dtype.itemsize
-    wbytes2 = 2 * itemsize * (c * inner_p + c * c_p + c * hid_p + hid_p * c_p)
     # headroom covers gm images of activations (fp32 intermediates + the
-    # compiler's stack scheduling slack — 24 MB OOM'd by 3.3 MB at gm=16)
-    vmem_limit = min(100 * 1024 * 1024, wbytes2 + 40 * 1024 * 1024)
+    # compiler's stack scheduling slack — 24 MB OOM'd by 3.3 MB at gm=16);
+    # resident bytes come from the SAME expression as the fits gate
+    vmem_limit = min(_STAGE_VMEM_CAP,
+                     swin_stage_resident_bytes(c, hidden, itemsize,
+                                               nwin=nwin, n_pad=n_pad,
+                                               heads=heads)
+                     + _STAGE_VMEM_HEADROOM)
 
     vres = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
@@ -589,7 +690,7 @@ def swin_stage_forward_pipelined(
         in_specs=[
             pl.BlockSpec((gm * r_tot, c), lambda gi: (gi, 0),
                          memory_space=pltpu.VMEM),
-        ] + [vres()] * 14 + [hbm()] * 5,
+        ] + [vres()] * 16 + [hbm()] * 5,
         out_specs=pl.BlockSpec((gm * r_tot, c), lambda gi: (gi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * r_tot, c), xw.dtype),
@@ -618,7 +719,7 @@ def swin_stage_forward_pipelined(
         stacked["ln1_g"], stacked["ln1_b"], qkv_b, stacked["proj_b"],
         stacked["ln2_g"], stacked["ln2_b"], fc1_b, stacked["fc2_b"],
         qkv_s, proj_s, fc1_s, fc2_s,
-        mp, perm,
+        mp, perm, permL, permR,
         qkv_w, proj_w, fc1_w, fc2_w, biases,
     )
     return out.reshape(bwin, n_pad, c)[:, :n, :]

@@ -210,6 +210,48 @@ def test_stage_transition_perm_matches_roll_bracket():
     np.testing.assert_array_equal(back, wm)
 
 
+def test_stage_transition_perm_banded_matches_full():
+    """Banded factorization reconstructs the full one-hot perm exactly
+    (stage-0 geometry res 56 / w 7: nb 8 bands of 448 rows)."""
+    from edgevisiontransformer_tpu.ops.pallas.swin_block import (
+        stage_transition_perm, stage_transition_perm_banded)
+
+    res, w, shift, n_pad = 56, 7, 3, 56
+    P = stage_transition_perm(res, w, shift, n_pad)
+    pL, pR = stage_transition_perm_banded(res, w, shift, n_pad)
+    nb = res // w
+    rb = nb * n_pad
+    rng = np.random.RandomState(0)
+    x = rng.randn(nb * rb, 5).astype(np.float32)
+    xg = x.reshape(nb, rb, 5)
+    fwd = np.concatenate(
+        [pL[b] @ xg[b] + pR[b] @ xg[(b + 1) % nb] for b in range(nb)], 0)
+    np.testing.assert_array_equal(fwd, P @ x)
+    rev = np.concatenate(
+        [pL[b].T @ xg[b] + pR[(b - 1) % nb].T @ xg[(b - 1) % nb]
+         for b in range(nb)], 0)
+    np.testing.assert_array_equal(rev, P.T @ x)
+
+
+def test_fused_swin_banded_stage0_parity():
+    """Whole-stage kernel on a REAL stage-0 geometry (res 56, w 7,
+    R = 3584 > the full-perm threshold): the banded in-kernel bracket must
+    match the module forward."""
+    from edgevisiontransformer_tpu.models.swin import fused_swin_apply
+    from edgevisiontransformer_tpu.ops.pallas.swin_block import (
+        swin_stage_pipelined_fits)
+
+    assert swin_stage_pipelined_fits(32, 64, 2, nwin=64, n_pad=56, heads=2)
+    cfg = swin_config("tiny", image_size=112, patch_size=2, embed_dim=32,
+                      depths=(2,), num_heads=(2,), num_classes=7)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 3, 112, 112))
+    v = m.init(jax.random.key(1), x)
+    y_ref = np.asarray(m.apply(v, x))
+    y_fused = np.asarray(fused_swin_apply(m, v, x))
+    np.testing.assert_allclose(y_fused, y_ref, rtol=2e-3, atol=2e-3)
+
+
 def test_stage_kernel_odd_depth_unrolls():
     """Odd-depth shift-free stages (depth 7, nwin 1) must not drop the tail
     block: auto-unroll, and unroll=False is rejected loudly."""
