@@ -121,7 +121,8 @@ def analyse_gelu_ln(file: str, model_type: str = "deit") -> Dict[str, float]:
     begin, end, schema = find_op_wise_range(rows)
     gelu = ln = total = 0.0
     data = rows[begin:end]
-    explicit = any(r[schema["node type"]] in ("GELU_MLP", "LAYER_NORM") for r in data)
+    explicit = any(r[schema["node type"]] in ("GELU", "GELU_MLP", "LAYER_NORM")
+                   for r in data)
     i = 0
     while i < len(data):
         row = data[i]
@@ -131,8 +132,13 @@ def analyse_gelu_ln(file: str, model_type: str = "deit") -> Dict[str, float]:
         if explicit:
             if node_type == "LAYER_NORM":
                 ln += t
+            elif node_type == "GELU":
+                # activation-only row (bench/profile.py emits fc1/gelu/fc2
+                # separately) — same semantics as the reference's 8-row POW
+                # decomposition, so the GELU share is directly comparable
+                gelu += t
             elif node_type == "GELU_MLP":
-                gelu += t  # includes the matmuls; explicit mode is coarser
+                gelu += t  # legacy CSVs: includes the matmuls (coarser)
             i += 1
             continue
         if node_type == "POW":  # decomposed tanh-gelu: POW + next 7 rows

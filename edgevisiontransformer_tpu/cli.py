@@ -151,16 +151,45 @@ def cmd_profile(argv):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--output", default="profile.csv")
+    p.add_argument("--mode", default="micro", choices=["micro", "trace"],
+                   help="micro = loop-delta stage decomposition; trace = "
+                        "real jax.profiler device trace (per-HLO-op events)")
+    p.add_argument("--kernel-mode", default="xla", choices=["xla", "fused"],
+                   help="trace mode: which forward to trace")
+    p.add_argument("--iters", type=int, default=10)
     args = p.parse_args(argv)
 
-    from .bench.profile import profile_vit, write_profile_csv
+    from .bench.profile import profile_trace, profile_vit, write_profile_csv
     from .cache import enable_compilation_cache
 
     enable_compilation_cache()
     model, in_shape = _build_model(args.model, dtype=args.dtype)
     x = jnp.ones((args.batch,) + in_shape, jnp.dtype(args.dtype))
     params = model.init(jax.random.key(0), x)
-    rows, total = profile_vit(model, params, x)
+    if args.mode == "trace":
+        from .bench.looptimer import measure_op_time
+
+        if args.kernel_mode == "fused":
+            from .models.vit import fused_vit_apply
+
+            fn = jax.jit(lambda p_, x_: fused_vit_apply(model, p_, x_))
+        else:
+            fn = jax.jit(lambda p_, x_: model.apply(p_, x_))
+        fn(params, x).block_until_ready()
+
+        def run_once():
+            jax.device_get(fn(params, x))  # device fetch = true sync (CLAUDE.md)
+
+        rows, total = profile_trace(run_once, iters=args.iters)
+        # §4.4 sanity oracle: per-op sums must reconcile with the end-to-end
+        # loop-delta latency (reference analyse.py:193-216 cross-check)
+        e2e = measure_op_time(fn, (params, x), iters=100, repeats=3,
+                              chain_arg=1)["p50_ms"]
+        ratio = total / e2e if e2e else float("nan")
+        print(f"trace per-op sum {total:.4f} ms vs end-to-end {e2e:.4f} ms "
+              f"(ratio {ratio:.2f})")
+    else:
+        rows, total = profile_vit(model, params, x)
     write_profile_csv(args.output, rows, total)
     print(f"total {total:.4f} ms -> {args.output}")
 

@@ -72,11 +72,57 @@ def test_gelu_ln_and_series(tmp_path):
     # aggregation picked up the right row classes instead of positivity.
     ln_expected = sum(_csv_repr(r["avg_ms"]) for r in rows if r["node_type"] == "LAYER_NORM")
     np.testing.assert_allclose(g["layernorm_ms"], ln_expected, rtol=1e-9, atol=1e-12)
-    gelu_expected = sum(_csv_repr(r["avg_ms"]) for r in rows if r["node_type"] == "GELU_MLP")
+    # activation-only rows (profile emits fc1/gelu/fc2 separately so the
+    # GELU share matches the reference's POW-decomposition semantics)
+    gelu_expected = sum(_csv_repr(r["avg_ms"]) for r in rows if r["node_type"] == "GELU")
+    assert any(r["node_type"] == "GELU" for r in rows)
+    assert not any(r["node_type"] == "GELU_MLP" for r in rows)
     np.testing.assert_allclose(g["gelu_ms"], gelu_expected, rtol=1e-9, atol=1e-12)
     series = fetch_all_op_latency(path)
     assert len(series) == len(rows)
     assert series[0][0] == rows[0]["name"]  # ordered by start
+
+
+def test_gelu_mlp_legacy_rows_still_counted(tmp_path):
+    """Old CSVs with the coarse GELU_MLP rows keep working."""
+    path = str(tmp_path / "legacy.csv")
+    with open(path, "w") as f:
+        f.write(
+            "Operator-wise Profiling Info for Regular Benchmark Run\n"
+            "\n"
+            "node type,name,avg_ms,%,start\n"
+            "LAYER_NORM,b0/ln,0.5,25%,0.0\n"
+            "GELU_MLP,b0/mlp,1.5,75%,0.5\n"
+            "\n"
+        )
+    g = analyse_gelu_ln(path)
+    assert g["gelu_ms"] == 1.5 and g["layernorm_ms"] == 0.5
+
+
+def test_profile_trace_mode(tmp_path):
+    """Real-device-trace mode: per-HLO-op rows from jax.profiler, CSV
+    roundtrip through the analyser, per-op sum is finite and positive
+    (the §4.4 reconciliation oracle runs on TPU via `cli profile --mode
+    trace`; here the CPU backend exercises the parse/aggregate path)."""
+    from edgevisiontransformer_tpu.bench.profile import profile_trace
+
+    f = jax.jit(lambda x: jnp.tanh(x @ x) @ x)
+    x = jnp.ones((256, 256))
+    f(x).block_until_ready()
+
+    def run_once():
+        jax.device_get(f(x))
+
+    rows, total = profile_trace(run_once, iters=4, warmup=1)
+    assert rows and total > 0
+    names = [r["name"] for r in rows]
+    assert any("dot" in n for n in names), names
+    assert any(r["node_type"] == "FULLY_CONNECTED" for r in rows)
+    path = str(tmp_path / "trace.csv")
+    write_profile_csv(path, rows, total)
+    table = analyse_op(path)
+    agg = sum(v["latency"] for v in table.values())
+    assert agg > 0
 
 
 def test_reference_style_csv_flex_renaming(tmp_path):
