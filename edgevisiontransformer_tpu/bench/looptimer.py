@@ -40,7 +40,8 @@ def _chained_runner(fn: Callable, args: Sequence[Any], chain_arg: int):
         # work (measured: a 4096^2 matmul "ran" at 5 PFLOP/s with a [:1]
         # tick).  The reduction forces each iteration's complete compute.
         tick = sum(
-            jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(out)
+            jnp.sum(jnp.asarray(leaf).astype(jnp.float32))
+            for leaf in jax.tree.leaves(out)
         ) * 1e-38
 
         leaves, treedef = jax.tree_util.tree_flatten(cur_args[chain_arg])
@@ -57,7 +58,8 @@ def _chained_runner(fn: Callable, args: Sequence[Any], chain_arg: int):
         final_args = jax.lax.fori_loop(0, n, body, cur_args)
         out = fn(*final_args)
         return sum(
-            jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(out)
+            jnp.sum(jnp.asarray(leaf).astype(jnp.float32))
+            for leaf in jax.tree.leaves(out)
         )
 
     return lambda n: run(n, args)

@@ -143,6 +143,91 @@ def cmd_benchmark(argv):
     # Reference print contract (tools.py:550)
     print(f"Avg latency {r['avg_ms']:.4f} ms, Std {r['std_ms']:.4f} ms")
     print(json.dumps(r))
+    return r
+
+
+def cmd_benchmark_train(argv):
+    """TPU training-step benchmark: finetune and sparse (movement-pruning)
+    step latency + img/s, incl. the marginal cost of the every-step topK
+    binarization over the mask scores (the reference actually measures its
+    training loops: deit_pruning/src/train_main.py:387,
+    are_16_heads/classifier_training.py:18-184)."""
+    p = argparse.ArgumentParser(prog="benchmark_train")
+    p.add_argument("--model", default="deit_tiny")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--style", default="standard")
+    p.add_argument("--mode", default="both",
+                   choices=["finetune", "sparse", "both"])
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--repeats", type=int, default=5)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import optax
+
+    from .bench.looptimer import measure_op_time
+    from .cache import enable_compilation_cache
+    from .parallel.train import cross_entropy, make_train_step
+
+    enable_compilation_cache()
+    model, in_shape = _build_model(args.model, args.style, args.dtype)
+    cfg = model.config
+    x = jnp.asarray(np.random.RandomState(0).randn(args.batch, *in_shape),
+                    jnp.dtype(args.dtype))
+    labels = jnp.asarray(np.random.RandomState(1).randint(
+        0, cfg.num_classes, (args.batch,)))
+    variables = model.init(jax.random.key(0), x[:1])
+    params = variables["params"]
+    results = {}
+
+    if args.mode in ("finetune", "both"):
+        opt = optax.sgd(1e-3, momentum=0.9)
+        step = make_train_step(lambda p_, im: model.apply({"params": p_}, im),
+                               opt, cross_entropy)
+        opt_state = opt.init(params)
+        r = measure_op_time(step, (params, opt_state, x, labels),
+                            iters=args.iters, repeats=args.repeats,
+                            chain_arg=2)
+        results["finetune"] = r
+
+    if args.mode in ("sparse", "both"):
+        from .pruning.movement import (
+            SparseConfig,
+            init_mask_scores,
+            schedule_thresholds,
+        )
+        from .pruning.sparse_train import make_sparse_train_step
+
+        sparse = SparseConfig()
+        scores = init_mask_scores(cfg, sparse, jax.random.key(2))
+        n_scores = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(scores))
+        opt_p = optax.adamw(1e-4)
+        opt_s = optax.adamw(1e-2)
+        step = make_sparse_train_step(
+            lambda p_, im: model.apply({"params": p_}, im), cfg, sparse,
+            opt_p, opt_s)
+        thr_list, regu_mul = schedule_thresholds(500, 1000, cfg, sparse)
+        thr = jnp.asarray(thr_list, jnp.float32)
+        r = measure_op_time(
+            step,
+            (params, scores, opt_p.init(params), opt_s.init(scores), x,
+             labels, thr, jnp.float32(regu_mul)),
+            iters=args.iters, repeats=args.repeats, chain_arg=4)
+        r["mask_scores"] = n_scores
+        results["sparse"] = r
+
+    for mode, r in results.items():
+        ips = args.batch / (r["p50_ms"] / 1e3) if r["p50_ms"] else None
+        extra = f" scores={r['mask_scores']}" if "mask_scores" in r else ""
+        print(f"{mode}: step {r['p50_ms']:.4f} ms (std {r['std_ms']:.4f}), "
+              f"{ips:.1f} img/s{extra}")
+    if "finetune" in results and "sparse" in results:
+        marg = results["sparse"]["p50_ms"] - results["finetune"]["p50_ms"]
+        print(f"sparse marginal (masking+topK+regu+2nd opt): {marg:.4f} ms/step")
+    out = {m: {k: v for k, v in r.items()} for m, r in results.items()}
+    out.update(model=args.model, batch=args.batch)
+    print(json.dumps(out))
 
 
 def cmd_profile(argv):
@@ -778,6 +863,8 @@ def cmd_latency_model(argv):
     p.add_argument("--data", default=None, help="csv of encoding,ms")
     p.add_argument("--predictor", default=None, help="pickled model path")
     p.add_argument("--encoding", default=None, help='"h_4_d_0.4-..." to predict')
+    p.add_argument("--impl", default="fused", choices=["fused", "xla"],
+                   help="collect: which inference path to measure")
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
 
@@ -785,7 +872,6 @@ def cmd_latency_model(argv):
 
     from .utils.latency_model import (
         LatencyPredictor,
-        collect_latency_dataset,
         measure_pruned_deit,
         sample_random_configs,
     )
@@ -797,14 +883,18 @@ def cmd_latency_model(argv):
         depth = 12
         max_heads = {"tiny": 3, "small": 6, "base": 12}[args.size]
         encs = sample_random_configs(args.n, depth, max_heads, seed=args.seed)
-        xs, ys = collect_latency_dataset(
-            encs, measure_pruned_deit(args.size, batch=args.batch))
         out = args.output or f"latency_{args.size}.csv"
-        with open(out, "w", newline="") as f:
+        measure = measure_pruned_deit(args.size, batch=args.batch,
+                                      impl=args.impl)
+        # incremental writes: a killed multi-hour collect keeps its rows
+        with open(out, "w", newline="", buffering=1) as f:
             w = csv.writer(f)
             w.writerow(["encoding", "ms"])
-            w.writerows(zip(xs, ys))
-        print(f"saved {len(xs)} rows -> {out}")
+            for i, enc in enumerate(encs):
+                ms = measure(enc)
+                w.writerow([enc, ms])
+                print(f"[{i + 1}/{len(encs)}] {enc} {ms:.4f} ms", flush=True)
+        print(f"saved {len(encs)} rows -> {out}")
     elif args.action == "fit":
         if not args.data:
             raise SystemExit("fit needs --data csv")
@@ -876,6 +966,7 @@ def cmd_flops(argv):
 COMMANDS = {
     "models": cmd_models,
     "benchmark": cmd_benchmark,
+    "benchmark_train": cmd_benchmark_train,
     "profile": cmd_profile,
     "analyse_op": lambda a: _analyse("analyse_op", a),
     "analyse_attn_ffn": lambda a: _analyse("analyse_attn_ffn", a),

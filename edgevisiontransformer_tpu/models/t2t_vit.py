@@ -248,7 +248,8 @@ def build_stage1_weights(kqv_kernel, kqv_bias, g, b):
             jnp.asarray(c1), jnp.asarray(c2))
 
 
-def fast_stage1_kqv(img, W9, M9, c1, c2, eps: float = 1e-5):
+def fast_stage1_kqv(img, W9, M9, c1, c2,
+                    eps: float = TokenPerformer.layernorm_eps):
     """kqv(LN(unfold(img, k7 s4 p2))) without materializing the unfold."""
     bsz = img.shape[0]
     dt = img.dtype
@@ -305,7 +306,8 @@ def _performer_rest(x_kqv, p, consts, cfg, emb: int):
     ao = y.astype(dt) @ p["attn_output"]["kernel"] + p["attn_output"]["bias"]
     y = (vf + ao.astype(jnp.float32)).astype(dt)
 
-    h = layer_norm(y, p["norm2_scale"], p["norm2_bias"], 1e-5)
+    h = layer_norm(y, p["norm2_scale"], p["norm2_bias"],
+                   TokenPerformer.layernorm_eps)
     h = mlp_block(h, p["mlp_fc1_kernel"].astype(dt), p["mlp_fc1_bias"].astype(dt),
                   p["mlp_fc2_kernel"].astype(dt), p["mlp_fc2_bias"].astype(dt),
                   get_gelu(cfg.gelu_approx))
@@ -336,7 +338,8 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
         # Use the plain unfold tokenizer there.
         p1 = tok["performer1"]
         x = unfold(img, 7, 4, 2)
-        x = layer_norm(x, p1["norm1_scale"], p1["norm1_bias"], 1e-5)
+        x = layer_norm(x, p1["norm1_scale"], p1["norm1_bias"],
+                       TokenPerformer.layernorm_eps)
         x = x @ p1["kqv"]["kernel"].astype(dt)
         if "bias" in p1["kqv"]:
             x = x + p1["kqv"]["bias"].astype(dt)
@@ -355,7 +358,8 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
     x = jnp.transpose(x, (0, 3, 1, 2))
     x = unfold(x, 3, 2, 1)
     xk = layer_norm(x, tok["performer2"]["norm1_scale"],
-                    tok["performer2"]["norm1_bias"], 1e-5)
+                    tok["performer2"]["norm1_bias"],
+                    TokenPerformer.layernorm_eps)
     xk = xk @ tok["performer2"]["kqv"]["kernel"].astype(dt)
     if "bias" in tok["performer2"]["kqv"]:
         xk = xk + tok["performer2"]["kqv"]["bias"].astype(dt)

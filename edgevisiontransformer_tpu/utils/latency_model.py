@@ -134,14 +134,18 @@ def collect_latency_dataset(
     return xs, ys
 
 
-def measure_pruned_deit(size: str = "tiny", batch: int = 1, dtype="bfloat16"):
+def measure_pruned_deit(size: str = "tiny", batch: int = 1, dtype="bfloat16",
+                        impl: str = "fused"):
     """Returns measure(encoding) benchmarking the shape-specialized pruned
-    model on the current device."""
+    model on the current device.  ``impl="fused"`` measures the shipping
+    Pallas path (what the predictor should predict — the reference predicts
+    its deployed ONNX latency, get_latency.py:34-152); ``"xla"`` the plain
+    jit apply."""
     import jax
     import jax.numpy as jnp
 
     from ..bench.looptimer import measure_op_time
-    from ..models.vit import ViT, deit_config
+    from ..models.vit import ViT, deit_config, fused_vit_apply
 
     def measure(encoding: str) -> float:
         feats = parse_features(encoding)
@@ -155,8 +159,11 @@ def measure_pruned_deit(size: str = "tiny", batch: int = 1, dtype="bfloat16"):
         model = ViT(cfg)
         x = jnp.ones((batch, 3, 224, 224), cfg.dtype)
         params = model.init(jax.random.key(0), x)
-        r = measure_op_time(lambda p, xx: model.apply(p, xx), (params, x),
-                            iters=50, repeats=3, chain_arg=1)
+        if impl == "fused":
+            fn = lambda p, xx: fused_vit_apply(model, p, xx)
+        else:
+            fn = lambda p, xx: model.apply(p, xx)
+        r = measure_op_time(fn, (params, x), iters=50, repeats=3, chain_arg=1)
         return r["p50_ms"]
 
     return measure

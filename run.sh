@@ -56,6 +56,12 @@ function benchmark_pruned_grid() {
     done
 }
 
+function bench_gate() {
+    # Regression gate: re-run the ~10 headline rows vs bench_headline.json,
+    # fail on >10% drift (verdict r2 #9).  Re-baseline: ./run.sh bench_gate --update
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_gate.py $OPTIONS
+}
+
 function full_sweep() {
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py bench_sweep_r2b.jsonl
     python tools/make_benchmarks_md.py bench_sweep_r2b.jsonl BENCHMARKS.md

@@ -212,6 +212,35 @@ def test_sparse_train_step_reduces_loss_and_moves_scores():
     assert np.abs(np.asarray(sc["block_0"]["fc1"]) - s0).max() > 0  # scores learned
 
 
+def test_sparse_train_step_compiles_once():
+    """The jitted sparse step must NOT recompile across steps: thresholds and
+    the regu multiplier are runtime arrays, not static values (the host-side
+    schedule feeds them in — sparse_train.py module docstring contract; the
+    reference's topK-every-step concern from SURVEY §7 is only viable if the
+    step stays one executable)."""
+    import optax
+    from edgevisiontransformer_tpu.pruning.movement import schedule_thresholds
+    from edgevisiontransformer_tpu.pruning.sparse_train import make_sparse_train_step
+
+    cfg = _cfg()
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32))
+    labels = jnp.arange(2) % 10
+    params = model.init(jax.random.key(1), x)
+    sp = SparseConfig(warmup_steps=2, final_threshold=0.5)
+    scores = init_mask_scores(cfg, sp, jax.random.key(2))
+    step = jax.jit(make_sparse_train_step(
+        model.apply, cfg, sp, optax.adam(1e-3), optax.adam(1e-2)))
+    opt_p = optax.adam(1e-3).init(params)
+    opt_s = optax.adam(1e-2).init(scores)
+    p, sc = params, scores
+    for i in range(4):
+        thr, regu_mul = schedule_thresholds(i, 4, cfg, sp)
+        p, sc, opt_p, opt_s, _ = step(p, sc, opt_p, opt_s, x, labels,
+                                      jnp.asarray(thr), jnp.asarray(regu_mul))
+    assert step._cache_size() == 1, step._cache_size()
+
+
 def test_sparse_train_with_teacher():
     import optax
     from edgevisiontransformer_tpu.pruning.sparse_train import make_sparse_train_step
