@@ -285,6 +285,18 @@ def prepare_t2t_fused(model: "T2TViT", variables) -> dict:
     return {"W9": W9, "M9": M9, "c1": c1, "c2": c2}
 
 
+def _performer_dispatch(x_kqv, p, consts, cfg, emb: int):
+    """Performer-chain dispatch point.  The whole-chain Pallas kernel
+    (ops/pallas/performer.py) was measured SLOWER than the XLA chain at
+    every shape — same-session TPU A/B: n=3136 b1 11.2 vs 7.1 us, b32
+    0.352 vs 0.099 ms; n=784 b1 4.1 vs 3.3 us, b32 0.093 vs 0.030 ms —
+    the per-image grid serializes work XLA batches onto the MXU, and at
+    ts=64 every op is too narrow for a fused VMEM pass to pay.  The XLA
+    chain is the shipping path; the kernel stays as a parity-tested
+    negative result (tests/test_pallas_kernels.py)."""
+    return _performer_rest(x_kqv, p, consts, cfg, emb)
+
+
 def _performer_rest(x_kqv, p, consts, cfg, emb: int):
     """TokenPerformer minus norm1+kqv (which fast_stage1_kqv replaced)."""
     w = consts["w"]
@@ -349,9 +361,9 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
         x = fast_stage1_kqv(img, prepared["W9"], prepared["M9"],
                             prepared["c1"], prepared["c2"])
     ts = tok["performer1"]["mlp_fc1_kernel"].shape[0]  # token_size
-    x = _performer_rest(x, tok["performer1"],
-                        tok_c.get("performer1") or _perf_const(model, variables, 1),
-                        cfg, ts)
+    x = _performer_dispatch(x, tok["performer1"],
+                            tok_c.get("performer1") or _perf_const(model, variables, 1),
+                            cfg, ts)
 
     bsz = x.shape[0]
     x = x.reshape(bsz, 56, 56, ts)
@@ -363,9 +375,9 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
     xk = xk @ tok["performer2"]["kqv"]["kernel"].astype(dt)
     if "bias" in tok["performer2"]["kqv"]:
         xk = xk + tok["performer2"]["kqv"]["bias"].astype(dt)
-    x = _performer_rest(xk, tok["performer2"],
-                        tok_c.get("performer2") or _perf_const(model, variables, 2),
-                        cfg, ts)
+    x = _performer_dispatch(xk, tok["performer2"],
+                            tok_c.get("performer2") or _perf_const(model, variables, 2),
+                            cfg, ts)
     x = x.reshape(bsz, 28, 28, ts)
     x = jnp.transpose(x, (0, 3, 1, 2))
     x = unfold(x, 3, 2, 1)

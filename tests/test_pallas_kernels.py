@@ -321,3 +321,37 @@ def test_fully_fused_pipelined_multistep_grid():
     ref = np.asarray(model.apply(params, x))
     got = np.asarray(fully_fused_vit_apply(model, params, x, batch_block=2))
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_performer_kernel_matches_reference_chain():
+    """Whole-TokenPerformer kernel (ops/pallas/performer.py) vs the XLA
+    chain (_performer_rest), incl. a non-multiple-of-8 token count to cover
+    the padded-row kp masking."""
+    from edgevisiontransformer_tpu.models.t2t_vit import _performer_rest
+    from edgevisiontransformer_tpu.ops.pallas.performer import performer_rest
+
+    class Cfg:
+        dtype = jnp.bfloat16
+        gelu_approx = True
+
+    ts, m = 64, 32
+    r = np.random.RandomState(0)
+    p = {
+        "attn_output": {"kernel": jnp.asarray(r.randn(ts, ts) * 0.1, jnp.float32),
+                        "bias": jnp.asarray(r.randn(ts) * 0.1, jnp.float32)},
+        "norm2_scale": jnp.asarray(1 + r.randn(ts) * 0.1, jnp.float32),
+        "norm2_bias": jnp.asarray(r.randn(ts) * 0.1, jnp.float32),
+        "mlp_fc1_kernel": jnp.asarray(r.randn(ts, ts) * 0.1, jnp.float32),
+        "mlp_fc1_bias": jnp.asarray(r.randn(ts) * 0.1, jnp.float32),
+        "mlp_fc2_kernel": jnp.asarray(r.randn(ts, ts) * 0.1, jnp.float32),
+        "mlp_fc2_bias": jnp.asarray(r.randn(ts) * 0.1, jnp.float32),
+    }
+    w = jnp.asarray(r.randn(m, ts) * 0.3, jnp.float32)
+    for n in (784, 50):  # 50 exercises the n%8!=0 padded-row mask
+        x = jnp.asarray(r.randn(2, n, 3 * ts) * 0.5, jnp.bfloat16)
+        ref = np.asarray(_performer_rest(x, p, {"w": w}, Cfg, ts), np.float32)
+        got = np.asarray(
+            performer_rest(x, p, w, eps_ln=1e-5, approx_gelu=True), np.float32)
+        assert got.shape == ref.shape
+        rel = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 0.02, (n, rel)
