@@ -392,15 +392,27 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
 
     stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
     stacked = jax.tree.map(lambda a: a.astype(dt), stacked)
-    # pipelined at every batch: unrolled for small programs, fori past ~96
-    # in-kernel iterations — the kernel resolves unroll=None itself
-    # (measured b32: t2t_7 fori 1.62 ms vs 1.77 streamed / 1.64 XLA;
-    # t2t_14 within jitter of streamed)
-    x = encoder_forward_pipelined(
-        x, stacked, heads=cfg.heads,
-        head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
-        reference_residual=cfg.reference_residual,
-        approx_gelu=cfg.gelu_approx)
+    if bsz >= 8 and cfg.dim <= 256:
+        # serving batches at small dim: XLA reads each layer's weights ONCE
+        # for the whole batch while the batch-blocked kernels re-stream them
+        # per bm-image program — measured t2t_7 b32 same-session: XLA 2.06 /
+        # 2.14 ms vs streamed kernel 2.29 / 2.31, pipelined 2.33 / 2.43
+        # (dim 384 t2t_14 b32 the kernel still wins: 3.95 vs 4.00)
+        from ..ops.attention import encoder_forward_xla
+
+        x = encoder_forward_xla(
+            x, stacked, heads=cfg.heads,
+            head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
+            reference_residual=cfg.reference_residual,
+            approx_gelu=cfg.gelu_approx)
+    else:
+        # pipelined: unrolled for small programs, fori past ~96 in-kernel
+        # iterations — the kernel resolves unroll=None itself
+        x = encoder_forward_pipelined(
+            x, stacked, heads=cfg.heads,
+            head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
+            reference_residual=cfg.reference_residual,
+            approx_gelu=cfg.gelu_approx)
 
     x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
                    cfg.layernorm_eps)

@@ -318,11 +318,13 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
             cfg.dim * inner + heads * cfg.resolved_head_dim * cfg.dim
             + 2 * cfg.dim * mlp_d
         )
-        from ..ops.pallas.common import default_batch_block
+        from ..ops.pallas.common import default_batch_block, snap_batch_block
 
-        bm_eff = (batch_block if batch_block is not None
-                  else default_batch_block(cfg.dim))
-        bm_eff = min(bm_eff, img.shape[0])
+        # mirror the kernel wrappers' divisor snap so the unroll gate sees
+        # the bm the kernel will actually use
+        bm_eff = (min(batch_block, img.shape[0]) if batch_block is not None
+                  else snap_batch_block(default_batch_block(cfg.dim),
+                                        img.shape[0]))
         from ..ops.pallas.fused_encoder import pipelined_weights_fit
 
         fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, heads,
@@ -431,7 +433,7 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
     if stacked_q is None:
         stacked_q = prepare_vit_int8(model, variables)
 
-    from ..ops.pallas.common import default_batch_block
+    from ..ops.pallas.common import default_batch_block, snap_batch_block
     from ..ops.pallas.fused_encoder import (
         encoder_forward_int8,
         encoder_forward_int8_pipelined,
@@ -449,9 +451,9 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
 
     inner = stacked_q["qkv_w"].shape[2]
     mlp_d = stacked_q["fc1_w"].shape[2]
-    bm_eff = (batch_block if batch_block is not None
-              else default_batch_block(cfg.dim))
-    bm_eff = min(bm_eff, img.shape[0])
+    bm_eff = (min(batch_block, img.shape[0]) if batch_block is not None
+              else snap_batch_block(default_batch_block(cfg.dim),
+                                    img.shape[0]))
     iters = cfg.depth * heads * bm_eff
     fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, heads,
                                  cfg.resolved_head_dim, itemsize=1)

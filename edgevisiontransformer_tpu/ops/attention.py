@@ -69,3 +69,44 @@ def attention_xla(
     if b_out is not None:
         out = out + b_out
     return out
+
+
+def encoder_forward_xla(
+    x: jax.Array,
+    stacked: dict,
+    *,
+    heads: int,
+    head_dim: int,
+    eps: float,
+    reference_residual: bool = False,
+    approx_gelu: bool = False,
+) -> jax.Array:
+    """Plain-XLA encoder stack on the SAME stacked [L, ...] params the Pallas
+    kernels consume (ops/pallas/fused_encoder.stack_vit_layer_params) —
+    semantics of models/vit.EncoderBlock.
+
+    Exists as (a) the measured comparator for the kernel variants and (b) a
+    dispatch target for regimes where XLA wins: at serving batches XLA reads
+    each layer's weights ONCE for the whole batch, while the batch-blocked
+    kernels re-stream them per grid program (bm-image block) — measured
+    t2t_vit_7 (dim 256, mlp 2x) b32: XLA 2.06/2.14 ms vs streamed-kernel
+    2.29/2.31 in two same-session A/Bs.
+    """
+    from .layers import layer_norm
+
+    depth = stacked["qkv_w"].shape[0]
+    dt = x.dtype
+    for i in range(depth):
+        h = layer_norm(x, stacked["ln1_g"][i, 0], stacked["ln1_b"][i, 0], eps)
+        a = attention_xla(
+            h, stacked["qkv_w"][i].astype(dt), stacked["qkv_b"][i, 0].astype(dt),
+            stacked["out_w"][i].astype(dt), stacked["out_b"][i, 0].astype(dt),
+            heads, head_dim,
+        )
+        x = a + (h if reference_residual else x)
+        h = layer_norm(x, stacked["ln2_g"][i, 0], stacked["ln2_b"][i, 0], eps)
+        m = h @ stacked["fc1_w"][i].astype(dt) + stacked["fc1_b"][i, 0].astype(dt)
+        m = jax.nn.gelu(m, approximate=approx_gelu)
+        m = m @ stacked["fc2_w"][i].astype(dt) + stacked["fc2_b"][i, 0].astype(dt)
+        x = m + (h if reference_residual else x)
+    return x

@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import default_batch_block, round_up, use_interpret
+from .common import (default_batch_block, round_up, snap_batch_block,
+                     use_interpret)
 from .mathlib import gelu_kernel
 
 
@@ -191,10 +192,9 @@ def encoder_forward(
     n_pad = round_up(n, n_pad_multiple)
 
     if batch_block is not None:
-        bm = batch_block
+        bm = min(batch_block, b)
     else:
-        bm = default_batch_block(dim)
-    bm = min(bm, b)
+        bm = snap_batch_block(default_batch_block(dim), b)
     b_pad = round_up(b, bm)
 
     xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
@@ -406,10 +406,9 @@ def encoder_forward_resident(
     n_pad = round_up(n, n_pad_multiple)
 
     if batch_block is not None:
-        bm = batch_block
+        bm = min(batch_block, b)
     else:
-        bm = default_batch_block(dim)
-    bm = min(bm, b)
+        bm = snap_batch_block(default_batch_block(dim), b)
     b_pad = round_up(b, bm)
 
     xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
@@ -597,8 +596,8 @@ def encoder_forward_pipelined(
     mlp = stacked["fc1_w"].shape[2]
     n_pad = round_up(n, n_pad_multiple)
 
-    bm = batch_block if batch_block is not None else default_batch_block(dim)
-    bm = min(bm, b)
+    bm = (min(batch_block, b) if batch_block is not None
+          else snap_batch_block(default_batch_block(dim), b))
     b_pad = round_up(b, bm)
     if unroll is None:
         unroll = depth * heads * bm <= 96
@@ -869,10 +868,9 @@ def encoder_forward_int8(
                else jnp.ones((depth, 4), jnp.float32))
 
     if batch_block is not None:
-        bm = batch_block
+        bm = min(batch_block, b)
     else:
-        bm = default_batch_block(dim)
-    bm = min(bm, b)
+        bm = snap_batch_block(default_batch_block(dim), b)
     b_pad = round_up(b, bm)
 
     xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))
@@ -1081,8 +1079,8 @@ def encoder_forward_int8_pipelined(
     act_inv = (stacked_q["act_inv"] if static_acts
                else jnp.ones((depth, 4), jnp.float32))
 
-    bm = batch_block if batch_block is not None else default_batch_block(dim)
-    bm = min(bm, b)
+    bm = (min(batch_block, b) if batch_block is not None
+          else snap_batch_block(default_batch_block(dim), b))
     b_pad = round_up(b, bm)
 
     xp = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n), (0, 0)))

@@ -355,3 +355,35 @@ def test_performer_kernel_matches_reference_chain():
         assert got.shape == ref.shape
         rel = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
         assert rel < 0.02, (n, rel)
+
+
+def test_encoder_forward_xla_matches_kernel():
+    """The functional XLA encoder (ops/attention.encoder_forward_xla) must
+    agree with the streamed Pallas encoder on the same stacked params — it
+    is the dispatch target for kernel-losing regimes (dim<=256, b>=8)."""
+    from edgevisiontransformer_tpu.ops.attention import encoder_forward_xla
+    from edgevisiontransformer_tpu.ops.pallas.fused_encoder import (
+        encoder_forward)
+
+    dim, depth, heads, mlp, n, b = 128, 3, 2, 256, 50, 2
+    r = np.random.RandomState(0)
+    mk = lambda *s: jnp.asarray(r.randn(*s) * 0.05, jnp.float32)
+    stacked = {
+        "qkv_w": mk(depth, dim, 3 * dim), "qkv_b": mk(depth, 1, 3 * dim),
+        "out_w": mk(depth, dim, dim), "out_b": mk(depth, 1, dim),
+        "fc1_w": mk(depth, dim, mlp), "fc1_b": mk(depth, 1, mlp),
+        "fc2_w": mk(depth, mlp, dim), "fc2_b": mk(depth, 1, dim),
+        "ln1_g": 1 + mk(depth, 1, dim), "ln1_b": mk(depth, 1, dim),
+        "ln2_g": 1 + mk(depth, 1, dim), "ln2_b": mk(depth, 1, dim),
+    }
+    stacked = jax.tree.map(lambda a: a.astype(jnp.bfloat16), stacked)
+    x = jnp.asarray(r.randn(b, n, dim) * 0.5, jnp.bfloat16)
+    for rr in (False, True):
+        y_x = np.asarray(encoder_forward_xla(
+            x, stacked, heads=heads, head_dim=dim // heads, eps=1e-6,
+            reference_residual=rr), np.float32)
+        y_k = np.asarray(encoder_forward(
+            x, stacked, heads=heads, head_dim=dim // heads, eps=1e-6,
+            reference_residual=rr), np.float32)
+        rel = np.abs(y_x - y_k).max() / (np.abs(y_x).max() + 1e-9)
+        assert rel < 0.03, (rr, rel)
