@@ -63,6 +63,8 @@ def vit_cases(fh):
         pruned_vit_config,
     )
 
+    from edgevisiontransformer_tpu.models.vit import prepare_vit_int8_static
+
     for name, factory, big_b in (
         ("deit_tiny", get_deit_tiny, 128),
         ("deit_small", get_deit_small, 128),
@@ -82,6 +84,12 @@ def vit_cases(fh):
             bench(fh, name + "_int8", b,
                   lambda vv, ss, xx: fused_vit_apply_int8(m, vv, xx, ss),
                   (v, sq, x), 2, "int8", iters=it)
+            # full-integer static scales (round-3): same kernel, SMEM
+            # activation scales instead of per-row dynamic quant
+            sqs = prepare_vit_int8_static(m, v)
+            bench(fh, name + "_int8_static", b,
+                  lambda vv, ss, xx: fused_vit_apply_int8(m, vv, xx, ss),
+                  (v, sqs, x), 2, "int8", iters=it)
 
     grid = [
         "all_head1_ffn0.3", "all_head2_ffn0.5", "all_head2_ffn0.7",
@@ -175,6 +183,34 @@ def cnn_cases(fh):
               "xla", iters=50)
 
 
+def train_cases(fh):
+    """TPU training-step latency (VERDICT r2 #3): finetune + sparse
+    movement-pruning step for tiny and base, incl. the marginal cost of the
+    every-step topK binarization over the mask scores."""
+    from edgevisiontransformer_tpu.cli import cmd_benchmark_train
+
+    import contextlib
+    import io
+
+    out = {}
+    for model, batch in (("deit_tiny", 64), ("deit_base", 16)):
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                cmd_benchmark_train([
+                    "--model", model, "--batch", str(batch),
+                    "--iters", "30", "--repeats", "3",
+                ])
+            out[f"{model}_b{batch}"] = json.loads(
+                buf.getvalue().strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001
+            print(buf.getvalue())
+            traceback.print_exc()
+            out[f"{model}_b{batch}"] = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps({f"train {model} b{batch}": out[f"{model}_b{batch}"]}))
+    log_line(fh, {"training_steps": out})
+
+
 def experiment_cases(fh):
     from edgevisiontransformer_tpu.bench.experiments import (
         bench_micro_models,
@@ -206,6 +242,7 @@ def main():
         swin_cases(fh)
         t2t_cases(fh)
         cnn_cases(fh)
+        train_cases(fh)
         experiment_cases(fh)
         log_line(fh, {"check": "sweep done"})
 

@@ -17,7 +17,7 @@ PEAK_BF16 = 197e12
 
 def model_flops(name: str):
     base = name.replace("_xla", "").replace("_fullfused", "").replace("_pallas", "")
-    for suffix in ("_fused", "_int8"):
+    for suffix in ("_fused", "_int8_static", "_int8"):
         base = base.replace(suffix, "")
     if base.startswith("pruned_deit_"):
         rest = base[len("pruned_deit_"):]
@@ -88,7 +88,9 @@ def main(*paths):
             impl = "pallas-window"
         if "fullfused" in name:
             impl = "full-kernel"
-        if "int8" in name:
+        if "int8_static" in name:
+            impl = "int8_static"
+        elif "int8" in name:
             impl = "int8"
         fl = model_flops(name)
         if fl:
@@ -108,7 +110,8 @@ def main(*paths):
             msg = str(e["error"]).splitlines()[0][:200]
             lines.append(f"- `{e.get('name')}` b{e.get('batch')}: {msg}")
 
-    for key in ("quant_op_sweep", "fusion_ab", "micro_models_b1", "micro_models_b128"):
+    for key in ("training_steps", "quant_op_sweep", "fusion_ab", "micro_models_b1",
+                "micro_models_b128", "latency_predictor"):
         if key in extras:
             lines += ["", f"## {key}", "", "```json",
                       json.dumps(extras[key], indent=2), "```"]
