@@ -449,7 +449,8 @@ def _block_kernel_params(blk: dict, dim: int, dt) -> dict:
     }
 
 
-def prepare_swin_int8(model: "SwinTransformer", variables) -> dict:
+def prepare_swin_int8(model: "SwinTransformer", variables,
+                      min_dim: int = 128) -> dict:
     """Per-stage int8-quantized stacked weight dicts for the whole-stage
     kernel's int8 mode (``fused_swin_apply(..., int8_prepared=...)``).
     Quantization (per-layer, per-output-channel — the tf2tflite dynamic-range
@@ -462,9 +463,17 @@ def prepare_swin_int8(model: "SwinTransformer", variables) -> dict:
     p = variables["params"]
     out = {}
     for g in _stage_geometry(cfg, p):
+        # int8 pays by halving the streamed weight DMA — only a win where
+        # that DMA binds (big dims).  Stage 0 (dim<128) measured a LOSS:
+        # swin_tiny b1 int8-all-stages 0.294 vs bf16 0.266 ms (the per-row
+        # dynamic act quant at R=3584 rows costs more than the ~150 KB/block
+        # weight saving), int8 stages 1-3 won round 2.  Keep big dims only
+        # (tests override min_dim to exercise tiny configs).
+        if g.dim < min_dim:
+            continue
         if g.nwin >= 1 and swin_stage_pipelined_fits(
                 g.dim, g.hidden, g.depth, 1, nwin=g.nwin, n_pad=g.n_pad,
-                heads=g.heads):
+                heads=g.heads, act_itemsize=jnp.dtype(dt).itemsize):
             stacked = _stack_stage_params(p, g.si, g.depth, g.dim, dt)
             out[g.si] = quantize_stacked_int8(
                 stacked, keys=("qkv_w", "proj_w", "fc1_w", "fc2_w"))
@@ -484,7 +493,8 @@ def _block_bias(blk: dict, prepared: dict | None, si: int, bi: int,
 def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
                      pallas_stages: tuple = (0, 1, 2, 3),
                      prepared: dict | None = None,
-                     int8_prepared: dict | None = None) -> jax.Array:
+                     int8_prepared: dict | None = None,
+                     merge_kernel: bool = True) -> jax.Array:
     """Forward pass with every Swin block as ONE whole-block Pallas kernel
     (ops/pallas/swin_block.py).  Same params as ``model.apply``.
 
@@ -492,6 +502,13 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
     window permutation P (cyclic roll + partition):
     x' = P^-1( fused_block_window_major( P(x) ) ) — only the cheap P bracket
     (measured 1-3 us each) stays in XLA.
+
+    When consecutive stages run as whole-stage kernels the tokens stay
+    PADDED WINDOW-MAJOR between them, and (``merge_kernel``, prepared-only)
+    patch merging runs as the fused banded-perm kernel
+    (ops/pallas/swin_merge.py) — the 2x2-s2d relayout (measured 21 us at
+    stage 0, the XLA floor) and the window_reverse/partition brackets
+    between stages all disappear.
     """
     from ..ops.layers import patch_embed
     from ..ops.pallas.swin_block import (
@@ -500,6 +517,7 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
         swin_stage_forward_pipelined,
         swin_stage_pipelined_fits,
     )
+    from ..ops.pallas.swin_merge import swin_merge_forward
 
     cfg = model.config
     dt = cfg.dtype
@@ -512,6 +530,7 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
                    cfg.layernorm_eps)
 
     b = x.shape[0]
+    xw = None  # padded window-major [b*nW, n_pad, dim] chained between stages
     for g in _stage_geometry(cfg, p):
         # geometry shared with the prepare_* functions — keeps the fits
         # gates and n_pad/nwin in exact agreement across the three sites
@@ -526,7 +545,9 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
                                               1 if use_int8
                                               else jnp.dtype(dt).itemsize,
                                               nwin=nwin, n_pad=n_pad,
-                                              heads=heads)):
+                                              heads=heads,
+                                              act_itemsize=jnp.dtype(
+                                                  dt).itemsize)):
             # Whole-stage double-buffered-DMA kernel: every block's weight
             # (+ rel-pos-bias) stream overlaps the previous block's compute
             # (the per-block kernel serializes the weight DMA — measured
@@ -544,16 +565,23 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
                        _stack_stage_params(p, si, depth, dim, dt))
             mask = (jnp.asarray(shifted_window_mask(res, res, w, w // 2))
                     if nwin > 1 and depth > 1 else None)
-            pw = window_partition(x.reshape(b, res, res, dim), w)
-            out = swin_stage_forward_pipelined(
-                pw, stacked, jnp.stack(biases),
+            if xw is None:
+                pw = window_partition(x.reshape(b, res, res, dim), w)
+                xw = jnp.pad(pw, ((0, 0), (0, n_pad - n), (0, 0)))
+            xw = swin_stage_forward_pipelined(
+                xw, stacked, jnp.stack(biases),
                 heads=heads, head_dim=dim // heads,
                 eps=cfg.layernorm_eps, approx_gelu=cfg.gelu_approx,
                 nwin=nwin, res=res, window=w, mask=mask, int8=use_int8,
+                n_valid=n,
             )
-            x = window_reverse(out, w, res, res).reshape(b, res * res, dim)
+            x = None
             blocks_range = ()
         else:
+            if xw is not None:
+                x = window_reverse(xw[:, :n, :], w, res,
+                                   res).reshape(b, res * res, dim)
+                xw = None
             blocks_range = range(depth)
 
         for bi in blocks_range:
@@ -591,6 +619,19 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
             x = xs.reshape(b, res * res, dim)
 
         if si < len(cfg.depths) - 1:
+            if xw is not None and prepared is not None and merge_kernel:
+                # fused banded-perm merge on window-major tokens — no
+                # window_reverse / s2d relayout / window_partition bracket
+                xw = swin_merge_forward(xw, prepared[f"merge_{si}"],
+                                        res=res, window=w,
+                                        eps=cfg.layernorm_eps)
+                dim *= 2
+                res //= 2
+                continue
+            if xw is not None:
+                x = window_reverse(xw[:, :n, :], w, res,
+                                   res).reshape(b, res * res, dim)
+                xw = None
             if prepared is not None:
                 # transpose-form merge (features ordered (dy, dx, c)) with
                 # permuted params — bit-equivalent, 2x faster than the
@@ -615,6 +656,13 @@ def fused_swin_apply(model: "SwinTransformer", variables, img: jax.Array,
             dim *= 2
             res //= 2
 
+    if xw is not None:
+        if nwin > 1:
+            x = window_reverse(xw[:, :n, :], w, res,
+                               res).reshape(b, res * res, dim)
+        else:
+            # mean-pool is token-order-invariant; just drop the pad rows
+            x = xw[:, :n, :]
     x = layer_norm(x, p["final_norm_scale"], p["final_norm_bias"],
                    cfg.layernorm_eps)
     x = jnp.mean(x, axis=1)

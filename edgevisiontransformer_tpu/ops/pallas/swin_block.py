@@ -519,12 +519,19 @@ _PERM_BANDED_THRESHOLD = 1024
 
 
 def swin_stage_resident_bytes(c: int, hidden: int, itemsize: int, *,
-                              nwin: int, n_pad: int, heads: int) -> int:
+                              nwin: int, n_pad: int, heads: int,
+                              act_itemsize: int = 2) -> int:
     """VMEM bytes of the whole-stage kernel's resident tensors: double-
     buffered weight + bias slots, plus (shifted stages) the transition perm
     (full or banded) and window mask.  The SINGLE source for both the fits
     gate and the wrapper's vmem_limit — they must never drift (a limit set
-    below the gate's assumption is a compile-time OOM)."""
+    below the gate's assumption is a compile-time OOM).
+
+    ``itemsize`` is the streamed-WEIGHT itemsize (1 in int8 mode);
+    ``act_itemsize`` the activation dtype's — the transition perms are cast
+    to the activation dtype (exact one-hot matmul), so f32 models double
+    their footprint (measured: b32 f32 stage-0 banded compile-OOM'd by
+    5.2 MB when this was hardcoded to bf16)."""
     c_p = round_up(c, 128)
     hid_p = round_up(hidden, 128)
     wb2 = 2 * itemsize * (c * round_up(3 * c, 128) + c * c_p
@@ -535,24 +542,26 @@ def swin_stage_resident_bytes(c: int, hidden: int, itemsize: int, *,
         if r_tot > _PERM_BANDED_THRESHOLD:
             nb = round(nwin ** 0.5)
             rb = nb * n_pad
-            wb2 += 2 * nb * rb * rb * 2          # banded perm pair (bf16)
+            wb2 += 2 * nb * rb * rb * act_itemsize   # banded perm pair
         else:
-            wb2 += r_tot * r_tot * 2             # full one-hot perm (bf16)
+            wb2 += r_tot * r_tot * act_itemsize      # full one-hot perm
         wb2 += nwin * n_pad * n_pad * 4          # shifted window mask (f32)
     return wb2
 
 
 def swin_stage_pipelined_fits(c: int, hidden: int, depth: int,
                               itemsize: int = 2, *, nwin: int = 1,
-                              n_pad: int = 56, heads: int = 1) -> bool:
+                              n_pad: int = 56, heads: int = 1,
+                              act_itemsize: int | None = None) -> bool:
     """True when the whole-stage pipelined kernel applies: double-buffered
     weight+bias slots (+ perm/mask) fit the VMEM budget and the depth
     matches the pair loop.  Big shifted stages (R > 1024, e.g. stage 0's
     R = 3584) use the banded perm factorization instead of being rejected."""
     if nwin > 1 and depth % 2 != 0:
         return False
-    wb2 = swin_stage_resident_bytes(c, hidden, itemsize, nwin=nwin,
-                                    n_pad=n_pad, heads=heads)
+    wb2 = swin_stage_resident_bytes(
+        c, hidden, itemsize, nwin=nwin, n_pad=n_pad, heads=heads,
+        act_itemsize=act_itemsize or max(itemsize, 2))
     return (depth % 2 == 0 or depth <= 8) and \
         wb2 + _STAGE_VMEM_HEADROOM <= _STAGE_VMEM_CAP
 
@@ -574,6 +583,7 @@ def swin_stage_forward_pipelined(
     images_per_program: int | None = None,
     unroll: bool | None = None,
     int8: bool = False,
+    n_valid: int | None = None,
 ) -> jax.Array:
     """ALL blocks of a Swin stage as one double-buffered-DMA kernel.
 
@@ -587,10 +597,19 @@ def swin_stage_forward_pipelined(
     (fused_encoder.quantize_stacked_int8 keys qkv_s/proj_s/fc1_s/fc2_s);
     activations quantize per row in-kernel and the matmuls run
     int8 x int8 -> int32 on the MXU — HALVES the streamed weight DMA, the
-    binding term of the big-dim stages at b1 (base stage 2: 6.3 MB/block)."""
+    binding term of the big-dim stages at b1 (base stage 2: 6.3 MB/block).
+
+    ``n_valid``: when given, ``xw`` is ALREADY lane-padded window-major
+    [B*nW, n_pad, C] (e.g. straight from swin_merge_forward) with n_valid
+    real tokens per window — skips the pad relayout; mask/bias sizing uses
+    n_valid.  Pad-row content may be garbage (attention masks pad columns,
+    so it never leaks into valid tokens)."""
     bwin, n, c = xw.shape
     assert bwin % nwin == 0
     b = bwin // nwin
+    if n_valid is not None:
+        assert n == round_up(n_valid, 8), (n, n_valid)
+        n = n_valid
     n_pad = round_up(n, 8)
     r_tot = nwin * n_pad
     depth = stacked["qkv_w"].shape[0]
@@ -605,14 +624,24 @@ def swin_stage_forward_pipelined(
     if not unroll and depth % 2 != 0:
         raise ValueError("unroll=False uses the pair loop: depth must be even")
 
+    banded_stage = shifted and r_tot > _PERM_BANDED_THRESHOLD
     if images_per_program is None:
         per_image = r_tot * (18 * c + 8 * n_pad)
         images_per_program = max(1, (16 * 1024 * 1024) // per_image)
+        if banded_stage:
+            # the banded in-kernel permute materializes ~27 MB/image of fp32
+            # band temporaries at R=3584 (measured: gm=2 b32 compile-OOM'd
+            # 61.6 vs 48.3 MB scoped vmem; gm=1 fits) — never share a
+            # program between images on banded stages
+            images_per_program = 1
     gm = max(1, min(images_per_program, b))
     while b % gm != 0:
         gm -= 1
 
-    xp = jnp.pad(xw, ((0, 0), (0, n_pad - n), (0, 0))).reshape(b * r_tot, c)
+    if n_valid is not None:
+        xp = xw.reshape(b * r_tot, c)
+    else:
+        xp = jnp.pad(xw, ((0, 0), (0, n_pad - n), (0, 0))).reshape(b * r_tot, c)
 
     def pad_lane(a, m=128):
         pad = (-a.shape[-1]) % m
@@ -641,7 +670,7 @@ def swin_stage_forward_pipelined(
     # the loaded bias back to [:, :n_pad] before use
     biases = pad_lane(biases)
 
-    banded = shifted and r_tot > _PERM_BANDED_THRESHOLD
+    banded = banded_stage
     if shifted:
         shift = window // 2
         mp = jnp.zeros((nwin, n_pad, n_pad), jnp.float32)
@@ -675,7 +704,8 @@ def swin_stage_forward_pipelined(
     vmem_limit = min(_STAGE_VMEM_CAP,
                      swin_stage_resident_bytes(c, hidden, itemsize,
                                                nwin=nwin, n_pad=n_pad,
-                                               heads=heads)
+                                               heads=heads,
+                                               act_itemsize=xw.dtype.itemsize)
                      + _STAGE_VMEM_HEADROOM)
 
     vres = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -722,7 +752,9 @@ def swin_stage_forward_pipelined(
         mp, perm, permL, permR,
         qkv_w, proj_w, fc1_w, fc2_w, biases,
     )
-    return out.reshape(bwin, n_pad, c)[:, :n, :]
+    out = out.reshape(bwin, n_pad, c)
+    # pre-padded callers chain window-major kernels — keep the pad rows
+    return out if n_valid is not None else out[:, :n, :]
 
 
 def _padded_bias(bias_hnn: jax.Array, n: int, n_pad: int) -> jax.Array:

@@ -292,7 +292,7 @@ def test_fused_swin_int8_parity():
     x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
     v = m.init(jax.random.key(1), x)
     prep = prepare_swin_fused(m, v)
-    q = prepare_swin_int8(m, v)
+    q = prepare_swin_int8(m, v, min_dim=0)
     assert q, "no stage qualified for the int8 whole-stage kernel"
     y_bf16 = np.asarray(fused_swin_apply(m, v, x, prepared=prep))
     y_int8 = np.asarray(fused_swin_apply(m, v, x, prepared=prep,
@@ -325,7 +325,7 @@ def test_stage_geometry_matches_module_progression():
     assert [g.w for g in geoms] == [4, 4, 4, 4]
     assert [g.nwin for g in geoms] == [64, 16, 4, 1]
 
-    q = prepare_swin_int8(m, v)
+    q = prepare_swin_int8(m, v, min_dim=0)
     int8_calls = []
     orig = sb.swin_stage_forward_pipelined
 
@@ -342,3 +342,64 @@ def test_stage_geometry_matches_module_progression():
     assert jnp.isfinite(y).all()
     # every prepared stage must have dispatched int8 (gate agreement)
     assert len(int8_calls) == len(q), (len(int8_calls), len(q))
+
+
+def test_merge_perm_banded_structure():
+    """Every output row selects exactly one input row; pad rows select none;
+    group g=(dy,dx) of output token (y',x') sources pixel (2y'+dy, 2x'+dx)."""
+    from edgevisiontransformer_tpu.ops.pallas.swin_merge import (
+        merge_perm_banded)
+
+    for res, w, n_pad in [(56, 7, 56), (28, 7, 56), (14, 7, 56), (8, 4, 16)]:
+        P = merge_perm_banded(res, w, n_pad)
+        n = w * w
+        rowsum = P.sum(-1)  # [4, nb, rb_o]
+        nb, rb_o = P.shape[1], P.shape[2]
+        nwc_o = (res // 2) // w
+        valid = np.zeros((nb, rb_o), bool)
+        for b in range(nb):
+            for k in range(rb_o):
+                valid[b, k] = (k % n_pad) < n
+        for g in range(4):
+            assert (rowsum[g][valid] == 1.0).all()
+            assert (rowsum[g][~valid] == 0.0).all()
+        assert (P.sum((2,)) <= 1.0).all()  # each input row used at most once/group
+
+
+def test_fused_swin_merge_kernel_runs_and_matches():
+    """fused_swin_apply with prepared constants must actually route patch
+    merging through the window-major banded-perm kernel (no silent XLA
+    fallback) and keep exact-path parity."""
+    import edgevisiontransformer_tpu.ops.pallas.swin_merge as sm
+    from edgevisiontransformer_tpu.models.swin import (
+        fused_swin_apply,
+        prepare_swin_fused,
+    )
+
+    cfg = swin_config("tiny", image_size=56, embed_dim=32, depths=(2, 2),
+                      num_heads=(2, 4), window_pack=1)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
+    v = m.init(jax.random.key(1), x)
+    y_ref = np.asarray(m.apply(v, x))
+    prep = prepare_swin_fused(m, v)
+
+    calls = []
+    orig = sm.swin_merge_forward
+
+    def spy(*a, **kw):
+        calls.append(a[0].shape)
+        return orig(*a, **kw)
+
+    try:
+        sm.swin_merge_forward = spy
+        import edgevisiontransformer_tpu.models.swin as msw
+        y_k = np.asarray(fused_swin_apply(m, v, x, prepared=prep))
+        assert len(calls) == 1, calls  # one merge in a 2-stage config
+        y_off = np.asarray(fused_swin_apply(m, v, x, prepared=prep,
+                                            merge_kernel=False))
+        assert len(calls) == 1  # kernel path skipped when disabled
+    finally:
+        sm.swin_merge_forward = orig
+    np.testing.assert_allclose(y_k, y_ref, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(y_off, y_ref, rtol=2e-3, atol=2e-3)
