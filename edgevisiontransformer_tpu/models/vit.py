@@ -253,7 +253,8 @@ def get_deit_base(style: str = "standard", **kw) -> ViT:
 
 def fused_vit_apply(model: ViT, variables, img: jax.Array,
                     batch_block: int | None = None,
-                    n_pad_multiple: int = 8) -> jax.Array:
+                    n_pad_multiple: int = 8,
+                    pack_layers: bool | None = None) -> jax.Array:
     """Forward pass using the whole-encoder Pallas kernel.
 
     Same params as ``model.apply`` (bit-for-bit interchangeable); the encoder
@@ -262,12 +263,25 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     each run of consecutive identically-shaped layers becomes one pallas_call
     (the reference's ViT_Pruned layerwise encodings, vit.py:58-97 — their
     latency must track MACs, BASELINE.md).
+
+    ``pack_layers``: head-pack a many-segment layerwise model into ONE
+    zero-padded uniform kernel (exact; see stack_vit_layer_params_packed).
+    MEASURED NEGATIVE RESULT (SURVEY §7 head-packing hard part): on v5e,
+    h2d0.5/h1d0.3 alternating (12 segments, the worst case for per-call
+    overhead), interleaved A/B x5: packed 40.8 us p50 vs segmented 38.6 —
+    the padded layers' extra FLOPs (~2x MACs for this config) cost more
+    than the ~1.5 us/call grid-step overhead the packing saves, even at
+    batch 1.  So the default (None) never packs; the path is kept
+    selectable (pack_layers=True) for configs with near-uniform shapes
+    where padding is nearly free, and as the compile-count bound for
+    latency-predictor collection sweeps.
     """
     from ..ops.pallas.fused_encoder import (
         encoder_forward,
         encoder_forward_blocked,
         encoder_forward_pipelined,
         stack_vit_layer_params,
+        stack_vit_layer_params_packed,
     )
 
     cfg = model.config
@@ -309,6 +323,31 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
         batch_block=batch_block,
         n_pad_multiple=n_pad_multiple,
     )
+
+    if pack_layers and len(segments) > 1:
+        from ..ops.pallas.fused_encoder import pipelined_weights_fit
+
+        hmax = max(s[2] for s in segments)
+        mlp_max = max(s[3] for s in segments)
+        itemsize = jnp.dtype(cfg.dtype).itemsize
+        if pipelined_weights_fit(cfg.dim, 3 * hmax * cfg.resolved_head_dim,
+                                 mlp_max, hmax, cfg.resolved_head_dim,
+                                 itemsize):
+            from ..ops.pallas.common import default_batch_block, snap_batch_block
+
+            stacked = stack_vit_layer_params_packed(
+                p, [cfg.layer_heads(i) for i in range(cfg.depth)],
+                [cfg.layer_mlp_dim(i) for i in range(cfg.depth)],
+                cfg.resolved_head_dim, cfg.qkv_bias)
+            stacked = jax.tree.map(lambda a: a.astype(cfg.dtype), stacked)
+            bm_eff = (min(batch_block, img.shape[0]) if batch_block is not None
+                      else snap_batch_block(default_batch_block(cfg.dim),
+                                            img.shape[0]))
+            x = encoder_forward_pipelined(
+                x, stacked, heads=hmax,
+                unroll=cfg.depth * hmax * bm_eff <= 96, **base_kw)
+            segments = []
+
     for start, seg_depth, heads, mlp_d in segments:
         stacked = stack_vit_layer_params(p, seg_depth, cfg.qkv_bias, start=start)
         stacked = jax.tree.map(lambda a: a.astype(cfg.dtype), stacked)

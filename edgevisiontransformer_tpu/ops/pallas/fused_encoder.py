@@ -252,7 +252,13 @@ def encoder_forward(
         scratch_shapes=[pltpu.VMEM((bm * n_pad, dim), x.dtype)],
         interpret=use_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(100 * 1024 * 1024, 24 * 1024 * 1024 * max(1, dim // 192)),
+            # sized for bf16; f32 models double every block/scratch buffer
+            # (measured: f32 tiny b128 needs 26.9 MB where bf16 fits in 24)
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                24 * 1024 * 1024 * max(1, dim // 192)
+                * max(1, x.dtype.itemsize // 2),
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -320,6 +326,62 @@ def stack_vit_layer_params(params: dict, depth: int, qkv_bias: bool,
         "fc2_w": stack(lambda b: b["ffn"]["fc2_kernel"]),
         "fc2_b": stack(lambda b: b["ffn"]["fc2_bias"]),
     }
+
+
+def stack_vit_layer_params_packed(params: dict, heads_per_layer,
+                                  mlp_per_layer, head_dim: int,
+                                  qkv_bias: bool) -> dict:
+    """Head-packed stack for NON-uniform layerwise-pruned models: every
+    layer's params are zero-padded to (max heads, max mlp) so the whole
+    depth runs as ONE pipelined kernel instead of one pallas_call per
+    uniform segment (SURVEY §7 "head-packing" hard part; VERDICT r2 #7).
+
+    Numerically EXACT, not approximate: a padded head has zero v-columns
+    (its attention output is 0 @ v = 0) and zero out-proj rows, so it
+    contributes nothing; a padded MLP column has zero fc1 weight+bias
+    (gelu(0) = 0) and a zero fc2 row.  The cost is the padded layers'
+    extra FLOPs — a win only where per-call overheads dominate (batch 1),
+    which the fused_vit_apply dispatch gates on.
+    """
+    depth = len(heads_per_layer)
+    hmax = max(heads_per_layer)
+    mlp_max = max(mlp_per_layer)
+    dt = params["block_0"]["attn"]["qkv_kernel"].dtype
+
+    def pad_qkv(a, h, axis):
+        # [.., 3*h*hd] -> [.., 3*hmax*hd]: pad each q/k/v section to hmax
+        secs = jnp.split(a, 3, axis=axis)
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, (hmax - h) * head_dim)
+        return jnp.concatenate([jnp.pad(s, pad) for s in secs], axis=axis)
+
+    def pad_to(a, size, axis):
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, size - a.shape[axis])
+        return jnp.pad(a, pad)
+
+    rows = []
+    for i in range(depth):
+        b, h, m = params[f"block_{i}"], heads_per_layer[i], mlp_per_layer[i]
+        qb = (b["attn"]["qkv_bias"] if qkv_bias
+              else jnp.zeros((3 * h * head_dim,), dt))
+        rows.append({
+            "ln1_g": b["ln1"]["scale"], "ln1_b": b["ln1"]["bias"],
+            "qkv_w": pad_qkv(b["attn"]["qkv_kernel"], h, 1),
+            "qkv_b": pad_qkv(qb, h, 0),
+            "out_w": pad_to(b["attn"]["out_kernel"], hmax * head_dim, 0),
+            "out_b": b["attn"]["out_bias"],
+            "ln2_g": b["ln2"]["scale"], "ln2_b": b["ln2"]["bias"],
+            "fc1_w": pad_to(b["ffn"]["fc1_kernel"], mlp_max, 1),
+            "fc1_b": pad_to(b["ffn"]["fc1_bias"], mlp_max, 0),
+            "fc2_w": pad_to(b["ffn"]["fc2_kernel"], mlp_max, 0),
+            "fc2_b": b["ffn"]["fc2_bias"],
+        })
+    out = {k: jnp.stack([r[k] for r in rows]) for k in rows[0]}
+    for k, v in out.items():
+        if v.ndim == 2:  # [L, d] vectors -> [L, 1, d]
+            out[k] = v[:, None, :]
+    return out
 
 
 # ---------------------------------------------------------------------------
