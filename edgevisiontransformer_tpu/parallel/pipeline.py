@@ -155,6 +155,67 @@ def pipeline_encoder_apply(
     return out.reshape(b, n, d)
 
 
+def make_pipeline_train_step(
+    mesh: Mesh,
+    *,
+    microbatches: int,
+    heads: int,
+    eps: float = 1e-6,
+    approx_gelu: bool = False,
+    reference_residual: bool = False,
+    axis: str = "pp",
+    learning_rate: float = 1e-3,
+):
+    """SGD training step THROUGH the GPipe pipeline forward.
+
+    Round-2 review: pp was a forward-only demo (no grads).  The schedule in
+    ``pipeline_encoder_apply`` is fully differentiable — ``ppermute``
+    transposes to the reversed ring permute, ``psum`` to a broadcast, and
+    the zero-feed/`where` selects zero out every garbage tick's
+    contribution — so the backward pass IS the reversed pipeline: grads for
+    each stage's layer-shard ride the same ICI ring in the opposite
+    direction.  No activation-stash machinery is needed at GPipe depth
+    (XLA keeps the M+S-1 tick activations live; use jax.checkpoint around
+    ``block_fn`` for long pipelines).
+
+    Returns ``step(stacked, head_w, x, labels) -> (stacked', head_w',
+    loss)`` jitted over ``mesh`` with the stacked params layer-sharded on
+    ``axis`` (same placement the forward uses) and the classifier head
+    replicated.  Loss: mean-pooled linear head + softmax cross-entropy, the
+    reference finetune objective (are_16_heads/classifier_training loss).
+    """
+
+    def loss_fn(stacked, head_w, x, labels):
+        h = pipeline_encoder_apply(
+            stacked, x, mesh, microbatches=microbatches, heads=heads,
+            eps=eps, approx_gelu=approx_gelu,
+            reference_residual=reference_residual, axis=axis)
+        logits = h.mean(axis=1) @ head_w
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+
+    def step(stacked, head_w, x, labels):
+        loss, (gs, gh) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            stacked, head_w, x, labels)
+        new_stacked = jax.tree.map(lambda p, g: p - learning_rate * g,
+                                   stacked, gs)
+        return new_stacked, head_w - learning_rate * gh, loss
+
+    stacked_shard = lambda tree: jax.tree.map(
+        lambda _: NamedSharding(mesh, P(axis)), tree)
+    rep = NamedSharding(mesh, P())
+
+    def jitted(stacked, head_w, x, labels):
+        fn = jax.jit(
+            step,
+            in_shardings=(stacked_shard(stacked), rep, rep, rep),
+            out_shardings=(stacked_shard(stacked), rep, None),
+        )
+        return fn(stacked, head_w, x, labels)
+
+    return jitted
+
+
 # ---------------------------------------------------------------------------
 # Sequence parallelism: shard the token axis for per-token work, flip to
 # head sharding for attention.  Pure annotations — XLA inserts all-to-alls.
