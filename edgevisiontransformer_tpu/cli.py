@@ -179,12 +179,25 @@ def cmd_benchmark_train(argv):
         0, cfg.num_classes, (args.batch,)))
     variables = model.init(jax.random.key(0), x[:1])
     params = variables["params"]
+    # non-"params" collections (e.g. T2T performer random-feature constants)
+    # ride through apply untrained; small, so closing over them is safe
+    extra_cols = {k: v for k, v in variables.items() if k != "params"}
     results = {}
+
+    if args.mode in ("sparse", "both"):
+        from .models.vit import ViT
+
+        if not isinstance(model, ViT):
+            raise SystemExit(
+                f"benchmark_train --mode sparse needs a ViT-family model "
+                f"(mask scores address the ViT param tree); got "
+                f"{type(model).__name__} for --model {args.model}")
 
     if args.mode in ("finetune", "both"):
         opt = optax.sgd(1e-3, momentum=0.9)
-        step = make_train_step(lambda p_, im: model.apply({"params": p_}, im),
-                               opt, cross_entropy)
+        step = make_train_step(
+            lambda p_, im: model.apply({**extra_cols, "params": p_}, im),
+            opt, cross_entropy)
         opt_state = opt.init(params)
         r = measure_op_time(step, (params, opt_state, x, labels),
                             iters=args.iters, repeats=args.repeats,
@@ -335,7 +348,10 @@ def cmd_convert(argv):
         # (the converter's TFLITE_BUILTINS_INT8 path, utils.py:263-277)
         import numpy as np
 
+        from .cache import enable_compilation_cache
         from .ops.quant import calibrate_vit, quantize_vit_params_int8_static
+
+        enable_compilation_cache()
 
         scales = calibrate_vit(model, params, n=args.calib_batches,
                                percentile=args.calib_percentile)
@@ -383,17 +399,31 @@ def cmd_quant_accuracy(argv):
     else:
         params = model.init(jax.random.key(0), x0)
 
+    from .cache import enable_compilation_cache
+
+    enable_compilation_cache()
     scales = calibrate_vit(model, params, n=args.calib_batches)
     qdyn = quantize_vit_params_int8(params)
     qstat = quantize_vit_params_int8_static(params, scales)
     pbf16 = cast_params(params, jnp.bfloat16)
 
+    # params/qparams are jit ARGUMENTS (partial over the first slot), not
+    # closures: closing over the weight pytree bakes it into the HLO and
+    # inflates the serialized compile past the relay request limit (the
+    # documented HTTP-413 hazard; cmd_eval does the same).
+    import functools
+
     modes = {
-        "bf16": jax.jit(lambda x: model.apply(pbf16, x.astype(jnp.bfloat16))),
-        "dynamic_int8": jax.jit(lambda x: int8_vit_apply(model, qdyn, x)),
-        "static_int8": jax.jit(lambda x: int8_vit_apply_static(model, qstat, x)),
+        "bf16": functools.partial(
+            jax.jit(lambda p_, x: model.apply(p_, x.astype(jnp.bfloat16))),
+            pbf16),
+        "dynamic_int8": functools.partial(
+            jax.jit(lambda q_, x: int8_vit_apply(model, q_, x)), qdyn),
+        "static_int8": functools.partial(
+            jax.jit(lambda q_, x: int8_vit_apply_static(model, q_, x)), qstat),
     }
-    ref_fn = jax.jit(lambda x: model.apply(params, x))
+    ref_fn = functools.partial(jax.jit(lambda p_, x: model.apply(p_, x)),
+                               params)
 
     stats = {m: {"max_abs": 0.0, "max_rel": 0.0, "agree": 0, "n": 0}
              for m in modes}
@@ -992,7 +1022,10 @@ def main(argv=None):
         print("usage: python -m edgevisiontransformer_tpu.cli <command> [...]")
         print("commands:", ", ".join(COMMANDS))
         return 1 if argv and argv[0] not in ("-h", "--help") else 0
-    return COMMANDS[argv[0]](argv[1:]) or 0
+    ret = COMMANDS[argv[0]](argv[1:])
+    # commands may return their result dict for programmatic callers
+    # (bench_gate imports cmd_benchmark); only ints are exit codes
+    return ret if isinstance(ret, int) else 0
 
 
 if __name__ == "__main__":

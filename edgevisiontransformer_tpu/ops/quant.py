@@ -236,15 +236,21 @@ def calibrate_activation_scales(
     is taken instead of absmax, and the max over batches is kept (an
     approximation of the global percentile that avoids storing every
     activation)."""
-    maxes: Dict[str, float] = {}
+    maxes: Dict[str, jax.Array] = {}
     for batch in batches:
         acts = apply_collect(jnp.asarray(batch))
         for name, a in acts.items():
             aa = jnp.abs(a)
-            m = float(jnp.percentile(aa, percentile) if percentile is not None
-                      else jnp.max(aa))
-            maxes[name] = max(maxes.get(name, 0.0), m)
-    return {k: (v / 127.0 if v > 0 else 1.0) for k, v in maxes.items()}
+            m = (jnp.percentile(aa, percentile) if percentile is not None
+                 else jnp.max(aa))
+            # running max stays ON DEVICE — a float() here would cost one
+            # ~30 ms tunnel round trip per tensor per batch (4800 fetches
+            # for a default deit calibration)
+            maxes[name] = m if name not in maxes else jnp.maximum(maxes[name], m)
+    names = list(maxes)
+    vals = np.asarray(jnp.stack([maxes[k] for k in names]))  # ONE fetch
+    return {k: (float(v) / 127.0 if v > 0 else 1.0)
+            for k, v in zip(names, vals)}
 
 
 # Per-layer matmul-input names, in the order the static kernels consume them.
@@ -310,18 +316,36 @@ def calibrate_vit(model, variables, batches=None, n: int = 100,
     ``batches`` defaults to the reference's 100 random-normal images
     (utils.py:265-269).
     """
-    import functools
-
     if batches is None:
         batches = representative_batches(
             n=n, shape=(3, model.config.image_size, model.config.image_size))
-    collect = jax.jit(functools.partial(vit_collect_matmul_inputs, model, variables))
-    scales = calibrate_activation_scales(collect, batches, percentile=percentile)
     depth = model.config.depth
-    out = np.ones((depth, len(VIT_ACT_KEYS)), np.float32)
-    for i in range(depth):
-        for j, key in enumerate(VIT_ACT_KEYS):
-            out[i, j] = scales[f"block_{i}/{key}"]
+
+    # variables is a jit ARGUMENT, not a closure: closing over the weight
+    # pytree embeds it as HLO constants and inflates the serialized compile
+    # past the relay's request limit (HTTP 413 — the looptimer lesson).
+    # The per-batch reduction to [depth, 4] also happens on device; only the
+    # final accumulated array is fetched.
+    def _collect_maxes(v, im):
+        acts = vit_collect_matmul_inputs(model, v, im)
+        rows = []
+        for i in range(depth):
+            cols = []
+            for key in VIT_ACT_KEYS:
+                aa = jnp.abs(acts[f"block_{i}/{key}"]).astype(jnp.float32)
+                cols.append(jnp.percentile(aa, percentile)
+                            if percentile is not None else jnp.max(aa))
+            rows.append(jnp.stack(cols))
+        return jnp.stack(rows)
+
+    collect = jax.jit(_collect_maxes)
+    run_max = None
+    for batch in batches:
+        m = collect(variables, jnp.asarray(batch))
+        run_max = m if run_max is None else jnp.maximum(run_max, m)
+    out = np.asarray(run_max, np.float32)  # one device->host fetch
+    out = out / 127.0
+    out[out <= 0] = 1.0
     return out
 
 

@@ -204,14 +204,20 @@ def make_pipeline_train_step(
     stacked_shard = lambda tree: jax.tree.map(
         lambda _: NamedSharding(mesh, P(axis)), tree)
     rep = NamedSharding(mesh, P())
+    cache: dict = {}
 
     def jitted(stacked, head_w, x, labels):
-        fn = jax.jit(
-            step,
-            in_shardings=(stacked_shard(stacked), rep, rep, rep),
-            out_shardings=(stacked_shard(stacked), rep, None),
-        )
-        return fn(stacked, head_w, x, labels)
+        # build the jitted step ONCE per stacked-tree structure — re-wrapping
+        # in jax.jit every call would re-trace the whole GPipe step per
+        # training step
+        key = jax.tree.structure(stacked)
+        if key not in cache:
+            cache[key] = jax.jit(
+                step,
+                in_shardings=(stacked_shard(stacked), rep, rep, rep),
+                out_shardings=(stacked_shard(stacked), rep, None),
+            )
+        return cache[key](stacked, head_w, x, labels)
 
     return jitted
 

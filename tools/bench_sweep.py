@@ -71,22 +71,24 @@ def vit_cases(fh):
         ("deit_base", get_deit_base, 64),
     ):
         m = factory("standard", dtype=DT)
+        v0 = m.init(jax.random.key(0), jnp.ones((1, 3, 224, 224), DT))
+        sq = prepare_vit_int8(m, v0)
+        # full-integer static scales (round-3): same kernel, SMEM activation
+        # scales instead of per-row dynamic quant. Calibration depends only
+        # on (model, params) — hoisted out of the batch loop.
+        sqs = prepare_vit_int8_static(m, v0)
         for b in (1, big_b):
             x = jnp.ones((b, 3, 224, 224), DT)
-            v = m.init(jax.random.key(0), x)
+            v = v0
             it = 100 if b == 1 else 20
             bench(fh, name, b, lambda vv, xx: m.apply(vv, xx), (v, x), 1,
                   "xla", iters=it)
             bench(fh, name + "_fused", b,
                   lambda vv, xx: fused_vit_apply(m, vv, xx), (v, x), 1,
                   "fused", iters=it)
-            sq = prepare_vit_int8(m, v)
             bench(fh, name + "_int8", b,
                   lambda vv, ss, xx: fused_vit_apply_int8(m, vv, xx, ss),
                   (v, sq, x), 2, "int8", iters=it)
-            # full-integer static scales (round-3): same kernel, SMEM
-            # activation scales instead of per-row dynamic quant
-            sqs = prepare_vit_int8_static(m, v)
             bench(fh, name + "_int8_static", b,
                   lambda vv, ss, xx: fused_vit_apply_int8(m, vv, xx, ss),
                   (v, sqs, x), 2, "int8", iters=it)
