@@ -213,6 +213,31 @@ def train_cases(fh):
     log_line(fh, {"training_steps": out})
 
 
+def quant_accuracy_cases(fh):
+    """Accuracy-delta table: fp32 vs bf16 / dynamic-int8 / static-int8
+    (the reference's D1118 quant-op-test methodology, whole-model; round-2
+    verdict #1 'publish an accuracy-delta table')."""
+    from edgevisiontransformer_tpu.cli import cmd_quant_accuracy
+
+    import contextlib
+    import io
+
+    out = {}
+    for model in ("deit_tiny", "deit_base"):
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                cmd_quant_accuracy(["--model", model, "--batches", "4",
+                                    "--calib-batches", "32"])
+            out[model] = json.loads(buf.getvalue().strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001
+            print(buf.getvalue())
+            traceback.print_exc()
+            out[model] = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps({f"quant_accuracy {model}": out[model]}))
+    log_line(fh, {"quant_accuracy": out})
+
+
 def experiment_cases(fh):
     from edgevisiontransformer_tpu.bench.experiments import (
         bench_micro_models,
@@ -235,17 +260,29 @@ def experiment_cases(fh):
         log_line(fh, {"name": "micro_models", "batch": 0, "error": str(e)})
 
 
+CASES = {
+    "vit": vit_cases,
+    "swin": swin_cases,
+    "t2t": t2t_cases,
+    "cnn": cnn_cases,
+    "train": train_cases,
+    "quant_accuracy": quant_accuracy_cases,
+    "experiments": experiment_cases,
+}
+
+
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "bench_sweep_r2.jsonl"
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = [a.split("=", 1)[1] for a in sys.argv[1:]
+            if a.startswith("--only=")]
+    out = args[0] if args else "bench_sweep_r2.jsonl"
+    names = only[0].split(",") if only else list(CASES)
     enable_compilation_cache()
     with open(out, "a") as fh:
-        log_line(fh, {"check": "sweep start", "device": str(jax.devices()[0])})
-        vit_cases(fh)
-        swin_cases(fh)
-        t2t_cases(fh)
-        cnn_cases(fh)
-        train_cases(fh)
-        experiment_cases(fh)
+        log_line(fh, {"check": "sweep start", "device": str(jax.devices()[0]),
+                      "cases": names})
+        for n in names:
+            CASES[n](fh)
         log_line(fh, {"check": "sweep done"})
 
 

@@ -110,8 +110,9 @@ def main(*paths):
             msg = str(e["error"]).splitlines()[0][:200]
             lines.append(f"- `{e.get('name')}` b{e.get('batch')}: {msg}")
 
-    for key in ("training_steps", "quant_op_sweep", "fusion_ab", "micro_models_b1",
-                "micro_models_b128", "latency_predictor"):
+    for key in ("training_steps", "quant_accuracy", "quant_op_sweep",
+                "fusion_ab", "micro_models_b1", "micro_models_b128",
+                "latency_predictor"):
         if key in extras:
             lines += ["", f"## {key}", "", "```json",
                       json.dumps(extras[key], indent=2), "```"]
