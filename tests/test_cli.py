@@ -209,6 +209,24 @@ def test_experiments_micro_cmd(capsys):
     assert set(data) == {"attention", "ffn", "dense_plus_input"}
 
 
+def test_benchmark_train_rejects_sparse_non_vit():
+    """sparse mode addresses the ViT param tree; non-ViT models must fail
+    loudly, not crash inside init_mask_scores."""
+    with pytest.raises(SystemExit, match="ViT-family"):
+        main(["benchmark_train", "--model", "swin_tiny", "--mode", "sparse",
+              "--batch", "2", "--iters", "2", "--repeats", "1"])
+
+
+def test_main_coerces_non_int_returns(capsys):
+    """cmd_benchmark returns its result dict for programmatic callers;
+    main() must still exit 0 (a dict reaching sys.exit means exit 1)."""
+    rc = main(["benchmark", "--model", "deit_tiny", "--batch", "1",
+               "--iters", "2", "--repeats", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert json.loads(out.strip().splitlines()[-1])["model"] == "deit_tiny"
+
+
 def test_registry_covers_cnn_zoo():
     from edgevisiontransformer_tpu.models.registry import available_models, build_model
 
