@@ -827,7 +827,10 @@ def _encoder_kernel_int8(
 
     def mm(h, w_ref, s_ref, j):
         if static_acts:
-            return _int8_mm_static(h, w_ref[0], s_ref[0], act_inv_ref[0, j])
+            # act_inv arrives as the FULL [L, 4] SMEM array (a (1, 4) block
+            # violates Mosaic's sublane-divisibility rule for [12, 4]);
+            # index the layer row with the grid id
+            return _int8_mm_static(h, w_ref[0], s_ref[0], act_inv_ref[li, j])
         return _int8_mm(h, w_ref, s_ref)
 
     # ---- attention sublayer ----
@@ -959,8 +962,7 @@ def encoder_forward_int8(
             pl.BlockSpec(
                 (bm * n_pad, dim), lambda bi, li: (bi, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, 4), lambda bi, li: (li, 0),
-                         memory_space=pltpu.SMEM),                 # act_inv
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # act_inv [L, 4]
             wspec((1, dim)), wspec((1, dim)),              # ln1
             wspec((dim, inner)), wspec((1, inner)), wspec((1, inner)),   # qkv
             wspec((heads * head_dim, dim)), wspec((1, dim)), wspec((1, dim)),  # out
