@@ -112,8 +112,24 @@ function finetune_tiny() {
 # --- latency predictor (deit_pruning get_latency.py recipe) ------------------
 
 function latency_predictor() {
-    $CLI latency_model collect --size tiny --n 60 --output latency_tiny.csv
-    $CLI latency_model fit --data latency_tiny.csv --output latency_tiny.pkl
+    # ~100 measured configs per the reference dataset scale
+    # (deit_pruning/src/latency_model.py:56-92); metrics land in
+    # BENCHMARKS.md via the sweep jsonl
+    $CLI latency_model collect --size tiny --n 100 --output latency_tiny.csv
+    $CLI latency_model fit --data latency_tiny.csv --output latency_tiny.pkl \
+        | tee /tmp/lat_fit.out
+    PYTHONPATH=.:$PYTHONPATH python - <<'PYEOF'
+import json
+metrics = None
+for line in open("/tmp/lat_fit.out"):
+    line = line.strip()
+    if line.startswith("{"):
+        metrics = json.loads(line)
+if metrics:
+    with open("bench_sweep_r2b.jsonl", "a") as f:
+        f.write(json.dumps({"latency_predictor": metrics}) + "\n")
+    print("metrics appended to bench_sweep_r2b.jsonl")
+PYEOF
     $CLI latency_model predict --predictor latency_tiny.pkl \
         --encoding "h_2_d_0.5-h_2_d_0.5-h_1_d_0.3-h_1_d_0.3-h_3_d_0.7-h_2_d_0.5-h_2_d_0.5-h_1_d_1.0-h_1_d_0.3-h_2_d_0.3-h_3_d_1.0-h_1_d_0.5"
 }
