@@ -21,6 +21,77 @@ def default_batch_block(dim: int) -> int:
     return max(1, (16 * 192 * 192) // (dim * dim))
 
 
+def check_block_shape(block_shape, array_shape, where: str = "") -> None:
+    """Enforce the Mosaic TPU block rule off-TPU: the last two dims of a
+    block must be divisible by (8, 128) respectively OR equal the full array
+    dims.  Interpret-mode kernels skip Mosaic entirely, so a violating spec
+    passes every CPU test and then fails to compile on the chip (hit once:
+    a (1, 4) SMEM block over a [12, 4] scale array).  Conservative: only
+    int-valued block dims on >=2-D operands are checked."""
+    if block_shape is None or array_shape is None:
+        return
+    if len(array_shape) < 2 or len(block_shape) != len(array_shape):
+        return
+    for axis, div in ((-1, 128), (-2, 8)):
+        b, a = block_shape[axis], array_shape[axis]
+        if not isinstance(b, int) or not isinstance(a, int):
+            continue
+        if b == a or b % div == 0:
+            continue
+        raise ValueError(
+            f"Mosaic block rule violation{' in ' + where if where else ''}: "
+            f"block {tuple(block_shape)} over array {tuple(array_shape)} — "
+            f"dim {axis} block size {b} is neither divisible by {div} nor "
+            f"equal to the array dim {a}; this compiles in interpret mode "
+            f"but fails Mosaic lowering on TPU")
+
+
+def install_block_spec_validator() -> None:
+    """Wrap pl.pallas_call so every invocation validates its in/out
+    BlockSpecs against check_block_shape at call time.  Installed by the
+    test suite (tests/conftest.py) — the CPU-mesh equivalent of a TPU
+    compile check for the block-shape rules."""
+    from jax.experimental import pallas as pl_mod
+
+    orig = pl_mod.pallas_call
+    if getattr(orig, "_evt_validating", False):
+        return
+
+    def validating_pallas_call(kernel, *args, **kwargs):
+        inner = orig(kernel, *args, **kwargs)
+        in_specs = kwargs.get("in_specs")
+        out_specs = kwargs.get("out_specs")
+        out_shape = kwargs.get("out_shape")
+        name = getattr(kernel, "func", kernel)
+        where = getattr(name, "__name__", str(name))
+
+        def wrapped(*operands):
+            if in_specs is not None and len(in_specs) == len(operands):
+                for i, (spec, op) in enumerate(zip(in_specs, operands)):
+                    if spec is not None:
+                        check_block_shape(
+                            getattr(spec, "block_shape", None),
+                            getattr(op, "shape", None),
+                            f"{where} args[{i}]")
+            specs = (out_specs if isinstance(out_specs, (list, tuple))
+                     else [out_specs])
+            shapes = (out_shape if isinstance(out_shape, (list, tuple))
+                      else [out_shape])
+            if len(specs) == len(shapes):
+                for i, (spec, sh) in enumerate(zip(specs, shapes)):
+                    if spec is not None and sh is not None:
+                        check_block_shape(
+                            getattr(spec, "block_shape", None),
+                            getattr(sh, "shape", None),
+                            f"{where} outs[{i}]")
+            return inner(*operands)
+
+        return wrapped
+
+    validating_pallas_call._evt_validating = True
+    pl_mod.pallas_call = validating_pallas_call
+
+
 def snap_batch_block(bm: int, b: int) -> int:
     """Largest block in [bm/2, bm] dividing the batch, else ``bm``.
 

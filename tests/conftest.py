@@ -18,3 +18,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Every pallas_call in the suite validates its BlockSpecs against the Mosaic
+# TPU block rule — interpret mode skips Mosaic, so violating specs would
+# otherwise pass CPU tests and fail only on the chip.
+from edgevisiontransformer_tpu.ops.pallas.common import (  # noqa: E402
+    install_block_spec_validator,
+)
+
+install_block_spec_validator()

@@ -188,6 +188,44 @@ def test_fused_encoder_head_packed():
     np.testing.assert_allclose(auto, seg, rtol=0, atol=0)
 
 
+def test_block_spec_validator_catches_smem_violation():
+    """The validator reproduces the Mosaic rule that interpret mode skips:
+    a (1, 4) block over a [12, 4] SMEM array (the round-3 streamed-int8 bug)
+    must raise at call time on CPU."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from edgevisiontransformer_tpu.ops.pallas.common import (
+        check_block_shape,
+        install_block_spec_validator,
+    )
+
+    install_block_spec_validator()  # idempotent
+
+    with pytest.raises(ValueError, match="Mosaic block rule"):
+        check_block_shape((1, 4), (12, 4), "unit")
+    check_block_shape((1, 4), (1, 4))        # equal dims: fine
+    check_block_shape((8, 128), (64, 512))   # divisible: fine
+
+    def k(s_ref, x_ref, o_ref):
+        o_ref[:] = x_ref[:] * s_ref[0, 0]
+
+    bad = pl.pallas_call(
+        k,
+        grid=(12,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=True,
+    )
+    with pytest.raises(ValueError, match="Mosaic block rule"):
+        bad(jnp.ones((12, 4), jnp.float32), jnp.ones((8, 128), jnp.float32))
+
+
 def test_blocked_encoder_matches_plain():
     """MLP-blocked kernel variant == plain fused kernel == XLA."""
     from edgevisiontransformer_tpu.models.vit import ViT, deit_config
