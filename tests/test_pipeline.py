@@ -137,3 +137,40 @@ def test_sequence_sharded_encoder_matches_sequential():
             reference_residual=cfg.reference_residual))(stacked, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sequence_sharded_encoder_grads_match():
+    """Grads through the sp-constrained forward == unconstrained autodiff
+    (sharding constraints are identity in the backward)."""
+    from edgevisiontransformer_tpu.parallel import make_mesh
+
+    cfg, model, params, stacked = _small_model(depth=2, heads=2)
+    mesh = make_mesh(dp=4, tp=2)
+    h = jax.random.normal(jax.random.key(6), (4, 16, cfg.dim))
+
+    def loss_sp(stk):
+        out = sequence_sharded_encoder_apply(
+            stk, h, mesh, heads=cfg.heads, eps=cfg.layernorm_eps,
+            approx_gelu=cfg.gelu_approx,
+            reference_residual=cfg.reference_residual)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(stk):
+        from edgevisiontransformer_tpu.parallel.pipeline import (
+            vit_block_apply,
+        )
+        hh = h
+        for i in range(cfg.depth):
+            pl = jax.tree.map(lambda a: a[i], stk)
+            hh = vit_block_apply(pl, hh, heads=cfg.heads,
+                                 eps=cfg.layernorm_eps,
+                                 approx_gelu=cfg.gelu_approx,
+                                 reference_residual=cfg.reference_residual)
+        return jnp.sum(hh ** 2)
+
+    with mesh:
+        g_sp = jax.jit(jax.grad(loss_sp))(stacked)
+    g_ref = jax.grad(loss_ref)(stacked)
+    for k in stacked:
+        np.testing.assert_allclose(np.asarray(g_sp[k]), np.asarray(g_ref[k]),
+                                   rtol=5e-4, atol=5e-5, err_msg=k)
