@@ -69,6 +69,9 @@ def main(*paths):
         key = (d["name"], d["batch"], bool(d.get("fused")))
         seen[key] = d
     rows = list(seen.values())
+    # drop stale error lines superseded by a later successful measurement
+    ok = {(d["name"], d["batch"]) for d in rows}
+    errors = [e for e in errors if (e.get("name"), e.get("batch")) not in ok]
 
     lines = [
         "# TPU v5e benchmark results (loop-delta device timing)",
