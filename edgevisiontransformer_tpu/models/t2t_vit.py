@@ -397,7 +397,12 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
         # for the whole batch while the batch-blocked kernels re-stream them
         # per bm-image program — measured t2t_7 b32 same-session: XLA 2.06 /
         # 2.14 ms vs streamed kernel 2.29 / 2.31, pipelined 2.33 / 2.43
-        # (dim 384 t2t_14 b32 the kernel still wins: 3.95 vs 4.00)
+        # (dim 384 t2t_14 b32 the kernel still wins: 3.95 vs 4.00).
+        # Round-3 interleaved A/B x4 after the tanh-erf change: fused-path
+        # and whole-model XLA are a statistical TIE at t2t_7 b32 (p50
+        # 1.53-1.75 both ways, per-round min swings 1.39-1.65 — t2t b32
+        # jitters ~15% between rounds on this tunneled chip), so this
+        # dispatch keeps the XLA encoder: never slower, one less program.
         from ..ops.attention import encoder_forward_xla
 
         x = encoder_forward_xla(

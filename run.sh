@@ -63,8 +63,10 @@ function bench_gate() {
 }
 
 function full_sweep() {
-    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py bench_sweep_r2b.jsonl
-    python tools/make_benchmarks_md.py bench_sweep_r2b.jsonl BENCHMARKS.md
+    # one jsonl per same-code measurement campaign (the generator keeps the
+    # fastest p50 per row across sessions — only valid for identical code)
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py bench_sweep_r3.jsonl
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl BENCHMARKS.md
 }
 
 # --- profiling (reference --enable_op_profiling + analyse.py) ---------------
@@ -126,9 +128,9 @@ for line in open("/tmp/lat_fit.out"):
     if line.startswith("{"):
         metrics = json.loads(line)
 if metrics:
-    with open("bench_sweep_r2b.jsonl", "a") as f:
+    with open("bench_sweep_r3.jsonl", "a") as f:
         f.write(json.dumps({"latency_predictor": metrics}) + "\n")
-    print("metrics appended to bench_sweep_r2b.jsonl")
+    print("metrics appended to bench_sweep_r3.jsonl")
 PYEOF
     $CLI latency_model predict --predictor latency_tiny.pkl \
         --encoding "h_2_d_0.5-h_2_d_0.5-h_1_d_0.3-h_1_d_0.3-h_3_d_0.7-h_2_d_0.5-h_2_d_0.5-h_1_d_1.0-h_1_d_0.3-h_2_d_0.3-h_3_d_1.0-h_1_d_0.5"

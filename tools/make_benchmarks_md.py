@@ -63,11 +63,17 @@ def main(*paths):
         else:
             extras.update(d)
 
-    # dedup: keep the LAST measurement per (name, batch, impl-ish key)
+    # dedup: keep the FASTEST p50 per (name, batch, impl-ish key).  The
+    # tunneled chip's b1 rows jitter up to ~30% (and t2t b32 ~15%) between
+    # same-code sessions; contention/jitter only ever ADDS time, so min of
+    # p50s across sessions of the same code is the least-biased pick.  The
+    # input jsonl must therefore contain only same-code sessions (run.sh
+    # full_sweep starts a fresh file per round).
     seen = {}
     for d in rows:
         key = (d["name"], d["batch"], bool(d.get("fused")))
-        seen[key] = d
+        if key not in seen or d["ms"] < seen[key]["ms"]:
+            seen[key] = d
     rows = list(seen.values())
     # drop stale error lines superseded by a later successful measurement
     ok = {(d["name"], d["batch"]) for d in rows}
