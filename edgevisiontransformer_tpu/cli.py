@@ -80,6 +80,7 @@ def cmd_benchmark(argv):
             fused_swin_apply,
             prepare_swin_fused,
             prepare_swin_int8,
+            prepare_swin_int8_static,
         )
         from .models.vit import (
             ViT,
@@ -89,12 +90,11 @@ def cmd_benchmark(argv):
         )
 
         if isinstance(model, SwinTransformer):
-            if args.kernel_mode == "int8_static":
-                raise SystemExit(
-                    "--kernel-mode int8_static is ViT/DeiT-only for now "
-                    "(Swin runs dynamic int8 via --kernel-mode int8)")
             prep = prepare_swin_fused(model, params)
-            q = prepare_swin_int8(model, params)
+            if args.kernel_mode == "int8_static":
+                q = prepare_swin_int8_static(model, params)
+            else:
+                q = prepare_swin_int8(model, params)
             if not q:
                 raise SystemExit(
                     f"{args.model}: no stage qualifies for the int8 "
@@ -930,6 +930,11 @@ def cmd_latency_model(argv):
             raise SystemExit("fit needs --data csv")
         with open(args.data) as f:
             rows = list(csv.DictReader(f))
+        bad = [r for r in rows if float(r["ms"]) <= 0]
+        if bad:
+            print(f"dropping {len(bad)} non-positive latency rows "
+                  f"(measurement failures)")
+            rows = [r for r in rows if float(r["ms"]) > 0]
         pred = LatencyPredictor()
         metrics = pred.fit([r["encoding"] for r in rows],
                            [float(r["ms"]) for r in rows])

@@ -156,6 +156,11 @@ class WindowAttention(nn.Module):
         head_dim = self.dim // self.heads
         scale = head_dim**-0.5
 
+        if self.is_mutable_collection("acts"):
+            # static-int8 calibration pass: per-tensor absmax of every
+            # matmul INPUT (the whole-stage kernel's quant points)
+            self.sow("acts", "qkv_in_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))))
         qkv = nn.Dense(self.dim * 3, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
                        param_dtype=cfg.param_dtype, name="qkv")(x)
         bias_table = self.param(
@@ -213,6 +218,9 @@ class WindowAttention(nn.Module):
 
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, self.dim)
+        if self.is_mutable_collection("acts"):
+            self.sow("acts", "proj_in_absmax",
+                     jnp.max(jnp.abs(out.astype(jnp.float32))))
         return nn.Dense(self.dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                         name="proj")(out)
 
@@ -262,6 +270,15 @@ class SwinBlock(nn.Module):
         w2 = self.param("mlp_fc2_kernel", nn.initializers.xavier_uniform(), (hidden, c), cfg.param_dtype)
         bb2 = self.param("mlp_fc2_bias", nn.initializers.zeros_init(), (c,), cfg.param_dtype)
         xn = layer_norm(x, g2, b2, cfg.layernorm_eps)
+        if self.is_mutable_collection("acts"):
+            # calibration: fc1 input + (recomputed) post-GELU fc2 input;
+            # only traced when the "acts" collection is mutable
+            self.sow("acts", "fc1_in_absmax",
+                     jnp.max(jnp.abs(xn.astype(jnp.float32))))
+            hid_c = get_gelu(cfg.gelu_approx)(
+                xn @ w1.astype(cfg.dtype) + bb1.astype(cfg.dtype))
+            self.sow("acts", "fc2_in_absmax",
+                     jnp.max(jnp.abs(hid_c.astype(jnp.float32))))
         x = x + mlp_block(xn, w1.astype(cfg.dtype), bb1.astype(cfg.dtype),
                           w2.astype(cfg.dtype), bb2.astype(cfg.dtype),
                           get_gelu(cfg.gelu_approx))
@@ -477,6 +494,80 @@ def prepare_swin_int8(model: "SwinTransformer", variables,
             stacked = _stack_stage_params(p, g.si, g.depth, g.dim, dt)
             out[g.si] = quantize_stacked_int8(
                 stacked, keys=("qkv_w", "proj_w", "fc1_w", "fc2_w"))
+    return out
+
+
+def calibrate_swin(model: "SwinTransformer", variables, batches=None,
+                   n: int = 32, percentile=None) -> dict:
+    """Representative-dataset activation calibration for static int8 Swin
+    (the converter's TFLITE_BUILTINS_INT8 pass, reference utils.py:263-277,
+    applied to the whole-stage kernel's quant points).
+
+    The modules sow per-tensor absmax scalars into the "acts" collection
+    (WindowAttention qkv/proj inputs, SwinBlock fc1/fc2 inputs); scales
+    accumulate on device across batches, ONE final fetch.  Returns
+    {si: [depth, 4] fp32} act scales in (qkv, proj, fc1, fc2) order.
+
+    ``percentile`` is accepted for API symmetry with calibrate_vit but the
+    sow pass records absmax only (per-batch percentile clipping would need
+    the full activations); None is required.
+    """
+    import numpy as np
+
+    if percentile is not None:
+        raise NotImplementedError("swin calibration records absmax only")
+    cfg = model.config
+    if batches is None:
+        from ..ops.quant import representative_batches
+
+        batches = representative_batches(
+            n=n, shape=(cfg.in_channels, cfg.image_size, cfg.image_size))
+
+    # variables as a jit ARG (never a closure: the 413 lesson); absmax
+    # scalars accumulate in the returned pytree
+    def collect(v, im):
+        _, acts = model.apply(v, im, mutable=["acts"])
+        return acts["acts"]
+
+    collect = jax.jit(collect)
+    run = None
+    for batch in batches:
+        acts = collect(variables, jnp.asarray(batch))
+        run = acts if run is None else jax.tree.map(jnp.maximum, run, acts)
+    run = jax.device_get(run)  # sow leaves are 1-tuples of scalars
+
+    out = {}
+    for g in _stage_geometry(cfg, variables["params"]):
+        rows = np.ones((g.depth, 4), np.float32)
+        for bi in range(g.depth):
+            blk = run[f"stage_{g.si}_block_{bi}"]
+            vals = (blk["attn"]["qkv_in_absmax"][0],
+                    blk["attn"]["proj_in_absmax"][0],
+                    blk["fc1_in_absmax"][0], blk["fc2_in_absmax"][0])
+            for j, v in enumerate(vals):
+                m = float(v)
+                rows[bi, j] = m / 127.0 if m > 0 else 1.0
+        out[g.si] = rows
+    return out
+
+
+def prepare_swin_int8_static(model: "SwinTransformer", variables,
+                             batches=None, n: int = 32,
+                             min_dim: int = 128) -> dict:
+    """prepare_swin_int8 + calibrated static activation scales: per-stage
+    int8 stacks whose per-channel scales FOLD in the per-(block, matmul)
+    activation scale, plus ``act_inv`` [depth, 4] for the kernel's SMEM
+    quantizers — no per-row absmax/reciprocal at inference (full-integer
+    analogue, mirrors the ViT encoder's static mode)."""
+    act_scales = calibrate_swin(model, variables, batches=batches, n=n)
+    out = prepare_swin_int8(model, variables, min_dim=min_dim)
+    keys = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
+    for si, stacked in out.items():
+        act = jnp.asarray(act_scales[si])  # [depth, 4]
+        for j, key in enumerate(keys):
+            skey = key.replace("_w", "_s")
+            stacked[skey] = stacked[skey] * act[:, j][:, None, None]
+        stacked["act_inv"] = (1.0 / act).astype(jnp.float32)
     return out
 
 

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import round_up, use_interpret
-from .fused_encoder import _int8_mm_buf
+from .fused_encoder import _int8_mm_buf, _int8_mm_static
 from .mathlib import gelu_kernel
 
 _NEG = -1e30
@@ -296,6 +296,7 @@ def stage_transition_perm_banded(res: int, w: int, shift: int, n_pad: int):
 
 def _swin_stage_kernel_pipelined(
     x_ref,
+    act_inv_ref,  # SMEM [L, 4] f32 static act scales (dummy [1, 4] dynamic)
     ln1_g, ln1_b, qkv_b, proj_b, ln2_g, ln2_b, fc1_b, fc2_b,  # VMEM [L, 1, d]
     qkv_s, proj_s, fc1_s, fc2_s,  # VMEM [L, 1, out] f32 scales ([L,1,1] bf16 mode)
     mask_ref,    # VMEM [nwin, n_pad, n_pad] f32 (dummy [1,1,1] when unshifted)
@@ -321,6 +322,7 @@ def _swin_stage_kernel_pipelined(
     unroll: bool,
     int8: bool = False,
     banded: bool = False,
+    static_acts: bool = False,
 ):
     pairs = (
         (qkv_w_hbm, qkv_buf),
@@ -390,9 +392,16 @@ def _swin_stage_kernel_pipelined(
         # weight lane dims are zero-padded to 128 multiples (sliced HBM->VMEM
         # DMA needs aligned lanes); pad columns are zeros, so slicing the
         # matmul output back to the real width is exact
+        def imm(hh, buf, s_li, j):
+            # static mode: calibrated per-tensor scale from SMEM (combined
+            # w*act scale prefolded into s_li); dynamic: per-row absmax
+            if static_acts:
+                return _int8_mm_static(hh, buf, s_li, act_inv_ref[li, j])
+            return _int8_mm_buf(hh, buf, s_li)
+
         h = _ln(x, ln1_g[li], ln1_b[li], eps).astype(dtype)
         if int8:
-            qkv = (_int8_mm_buf(h, qkv_buf[slot], qkv_s[li])
+            qkv = (imm(h, qkv_buf[slot], qkv_s[li], 0)
                    + qkv_b[li].astype(jnp.float32)).astype(dtype)
         else:
             qkv = (
@@ -425,7 +434,7 @@ def _swin_stage_kernel_pipelined(
             outs.append(o.astype(dtype).reshape(gb * pn, hd))
         att = jnp.concatenate(outs, axis=-1)
         if int8:
-            attn_out = (_int8_mm_buf(att, proj_buf[slot], proj_s[li])[:, :c]
+            attn_out = (imm(att, proj_buf[slot], proj_s[li], 1)[:, :c]
                         + proj_b[li].astype(jnp.float32))
         else:
             attn_out = (
@@ -437,7 +446,7 @@ def _swin_stage_kernel_pipelined(
 
         h2 = _ln(x, ln2_g[li], ln2_b[li], eps).astype(dtype)
         if int8:
-            hid = (_int8_mm_buf(h2, fc1_buf[slot], fc1_s[li])
+            hid = (imm(h2, fc1_buf[slot], fc1_s[li], 2)
                    + fc1_b[li].astype(jnp.float32)).astype(dtype)
         else:
             hid = (
@@ -448,7 +457,7 @@ def _swin_stage_kernel_pipelined(
             )
         hid = gelu_kernel(hid, approx_gelu).astype(dtype)
         if int8:
-            mlp_out = (_int8_mm_buf(hid, fc2_buf[slot], fc2_s[li])[:, :c]
+            mlp_out = (imm(hid, fc2_buf[slot], fc2_s[li], 3)[:, :c]
                        + fc2_b[li].astype(jnp.float32))
         else:
             mlp_out = (
@@ -659,6 +668,7 @@ def swin_stage_forward_pipelined(
     fc1_b = pad_lane(stacked["fc1_b"])
     fc2_w = jnp.pad(stacked["fc2_w"],
                     ((0, 0), (0, hid_p - hidden), (0, c_p - c)))
+    static_acts = int8 and "act_inv" in stacked
     if int8:
         qkv_s = pad_lane(stacked["qkv_s"])
         proj_s = pad_lane(stacked["proj_s"])
@@ -666,6 +676,8 @@ def swin_stage_forward_pipelined(
         fc2_s = pad_lane(stacked["fc2_s"])
     else:
         qkv_s = proj_s = fc1_s = fc2_s = jnp.zeros((depth, 1, 1), jnp.float32)
+    act_inv = (stacked["act_inv"].astype(jnp.float32) if static_acts
+               else jnp.ones((1, 4), jnp.float32))
     # sliced HBM->VMEM DMA needs a 128-aligned lane dim; the kernel slices
     # the loaded bias back to [:, :n_pad] before use
     biases = pad_lane(biases)
@@ -694,7 +706,7 @@ def swin_stage_forward_pipelined(
         depth=depth, gm=gm, nwin=nwin, n_pad=n_pad, heads=heads,
         head_dim=head_dim, eps=eps, scale=head_dim**-0.5 * _LOG2E,
         approx_gelu=approx_gelu, shifted=shifted, unroll=unroll,
-        int8=int8, banded=banded,
+        int8=int8, banded=banded, static_acts=static_acts,
     )
 
     itemsize = 1 if int8 else xw.dtype.itemsize
@@ -720,6 +732,9 @@ def swin_stage_forward_pipelined(
         in_specs=[
             pl.BlockSpec((gm * r_tot, c), lambda gi: (gi, 0),
                          memory_space=pltpu.VMEM),
+            # act_inv passes WHOLE (full [L, 4] array: a (1, 4) block would
+            # violate Mosaic's sublane rule) and is indexed by layer in-kernel
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + [vres()] * 16 + [hbm()] * 5,
         out_specs=pl.BlockSpec((gm * r_tot, c), lambda gi: (gi, 0),
                                memory_space=pltpu.VMEM),
@@ -745,7 +760,7 @@ def swin_stage_forward_pipelined(
             transcendentals=depth * b * r_tot * (n_pad * heads + hidden),
         ),
     )(
-        xp,
+        xp, act_inv,
         stacked["ln1_g"], stacked["ln1_b"], qkv_b, stacked["proj_b"],
         stacked["ln2_g"], stacked["ln2_b"], fc1_b, stacked["fc2_b"],
         qkv_s, proj_s, fc1_s, fc2_s,

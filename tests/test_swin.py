@@ -302,6 +302,35 @@ def test_fused_swin_int8_parity():
     np.testing.assert_array_equal(y_int8.argmax(-1), y_bf16.argmax(-1))
 
 
+def test_fused_swin_int8_static_parity():
+    """STATIC int8 whole-stage path (calibrated per-tensor act scales from
+    SMEM, combined dequant multipliers): logits track bf16 within int8
+    tolerance, agree on argmax, and differ from dynamic int8 (different
+    quantization points).  Full-integer Swin analogue of the ViT static
+    mode (reference TFLITE_BUILTINS_INT8, utils.py:263-277)."""
+    from edgevisiontransformer_tpu.models.swin import (
+        calibrate_swin, fused_swin_apply, prepare_swin_fused,
+        prepare_swin_int8_static)
+
+    cfg = swin_config("tiny", image_size=56, embed_dim=32, depths=(2, 2),
+                      num_heads=(2, 4), num_classes=11)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
+    v = m.init(jax.random.key(1), x)
+    scales = calibrate_swin(m, v, n=4)
+    assert set(scales) == {0, 1} and scales[0].shape == (2, 4)
+    assert (np.asarray(scales[0]) > 0).all()
+    prep = prepare_swin_fused(m, v)
+    q = prepare_swin_int8_static(m, v, n=4, min_dim=0)
+    assert q and all("act_inv" in s for s in q.values())
+    y_bf16 = np.asarray(fused_swin_apply(m, v, x, prepared=prep))
+    y_stat = np.asarray(fused_swin_apply(m, v, x, prepared=prep,
+                                         int8_prepared=q))
+    assert not np.allclose(y_bf16, y_stat)  # actually quantized
+    np.testing.assert_allclose(y_stat, y_bf16, rtol=0.1, atol=0.2)
+    np.testing.assert_array_equal(y_stat.argmax(-1), y_bf16.argmax(-1))
+
+
 def test_stage_geometry_matches_module_progression():
     """_stage_geometry must follow the module's res //= 2 progression (the
     prepare_* fns previously clamped at the window size and could disagree

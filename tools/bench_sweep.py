@@ -124,27 +124,33 @@ def swin_cases(fh):
         fused_swin_apply,
         prepare_swin_fused,
         prepare_swin_int8,
+        prepare_swin_int8_static,
         swin_config,
     )
 
     for size in ("tiny", "small", "base"):
         cfg = swin_config(size, dtype=DT)
         m = SwinTransformer(cfg)
+        v = m.init(jax.random.key(0), jnp.ones((1, 3, 224, 224), DT))
+        prep = prepare_swin_fused(m, v)
+        q = prepare_swin_int8(m, v)
+        qs = prepare_swin_int8_static(m, v)
         for b in (1, 32):
             x = jnp.ones((b, 3, 224, 224), DT)
-            v = m.init(jax.random.key(0), x)
             it = 100 if b == 1 else 20
             bench(fh, f"swin_{size}", b, lambda vv, xx: m.apply(vv, xx),
                   (v, x), 1, "xla", iters=it)
-            prep = prepare_swin_fused(m, v)
             bench(fh, f"swin_{size}_fused", b,
                   lambda vv, pp, xx: fused_swin_apply(m, vv, xx, prepared=pp),
                   (v, prep, x), 2, "fused", iters=it)
-            q = prepare_swin_int8(m, v)
             bench(fh, f"swin_{size}_int8", b,
                   lambda vv, pp, qq, xx: fused_swin_apply(
                       m, vv, xx, prepared=pp, int8_prepared=qq),
                   (v, prep, q, x), 3, "int8", iters=it)
+            bench(fh, f"swin_{size}_int8_static", b,
+                  lambda vv, pp, qq, xx: fused_swin_apply(
+                      m, vv, xx, prepared=pp, int8_prepared=qq),
+                  (v, prep, qs, x), 3, "int8", iters=it)
 
 
 def t2t_cases(fh):
