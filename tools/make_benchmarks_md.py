@@ -84,7 +84,7 @@ def main(*paths):
         "",
         "Measured on one chip, bf16 compute. `SoL` = fraction of the 197 TF/s",
         "bf16 roofline achieved (higher is better). Produced by",
-        "`tools/make_benchmarks_md.py` from `bench_sweep_raw.jsonl`.",
+        f"`tools/make_benchmarks_md.py` from `{'`, `'.join(raw_paths)}`.",
         "",
         "| model | batch | impl | ms | img/s | GFLOPs | SoL |",
         "|---|---|---|---|---|---|---|",
