@@ -340,8 +340,36 @@ def cmd_convert(argv):
         "model": args.model, "quantization": args.quantization,
         "style": args.style,
     }
+    from .models.swin import SwinTransformer
+
     if args.quantization in ("float16", "bfloat16"):
         out = cast_params(params, jnp.float16 if args.quantization == "float16" else jnp.bfloat16)
+    elif isinstance(model, SwinTransformer):
+        # Swin int8 lives in per-stage stacked kernel arrays, not per-param
+        # trees: save the prepare_swin_int8[_static] pytree the whole-stage
+        # kernels consume directly (static = calibrated, reference
+        # TFLITE_BUILTINS_INT8 analogue utils.py:263-277)
+        from .models.swin import prepare_swin_int8, prepare_swin_int8_static
+
+        if args.quantization == "dynamic":
+            out = prepare_swin_int8(model, params)
+        else:
+            if args.calib_percentile is not None:
+                raise SystemExit("swin calibration records absmax only "
+                                 "(--calib-percentile is ViT-only)")
+            from .cache import enable_compilation_cache
+
+            enable_compilation_cache()
+            out = prepare_swin_int8_static(model, params,
+                                           n=args.calib_batches)
+            meta["calib_batches"] = args.calib_batches
+        if not out:
+            raise SystemExit(f"{args.model}: no stage qualifies for the "
+                             "int8 whole-stage kernel")
+        out = {f"stage_{si}": stacked for si, stacked in out.items()}
+        meta["int8_stages"] = sorted(
+            int(k.split("_")[1]) for k in out)
+        print(f"int8 stages: {meta['int8_stages']}")
     elif args.quantization == "dynamic":
         out = quantize_vit_params_int8(params)
     else:  # int8 = FULL-INTEGER static: calibrate on representative data

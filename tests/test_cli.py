@@ -75,6 +75,23 @@ def test_convert_int8_static_differs_from_dynamic(tmp_path, capsys):
     assert "calibrated" in capsys.readouterr().out
 
 
+def test_convert_swin_dynamic_saves_stage_stacks(tmp_path, capsys):
+    """Swin convert saves the per-stage stacked int8 kernel pytree (stage 0
+    excluded by the whole-stage min-dim gate at dim 96)."""
+    out_dir = tmp_path / "swin8"
+    assert main([
+        "convert", "--model", "swin_tiny", "--quantization", "dynamic",
+        "--output", str(out_dir),
+    ]) == 0
+    meta = json.loads((out_dir / "meta.json").read_text())
+    assert meta["int8_stages"] == [1, 2, 3]
+    from edgevisiontransformer_tpu.utils.checkpoint import load_checkpoint
+
+    tree = load_checkpoint(str(out_dir))
+    assert set(tree) == {"stage_1", "stage_2", "stage_3"}
+    assert "qkv_w" in tree["stage_1"] and "act_inv" not in tree["stage_1"]
+
+
 def test_quant_accuracy_cmd(capsys):
     assert main([
         "quant_accuracy", "--model", "deit_tiny", "--batches", "1",
