@@ -1,0 +1,66 @@
+"""Bench regression gate logic (tools/bench_gate.py) off-TPU: baseline
+write, pass/fail drift classification, stale-row detection.  The measure
+step is stubbed — on-chip measurement is exercised by run.sh bench_gate."""
+
+import importlib.util
+import json
+import pathlib
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load_gate():
+    spec = importlib.util.spec_from_file_location(
+        "bench_gate", ROOT / "tools" / "bench_gate.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _rows(ms_by_key):
+    return {
+        k: {"model": k.split("|")[0], "batch": 1, "kernel_mode": "fused",
+            "ms": ms, "std_ms": 0.001, "iters": 100, "repeats": 5}
+        for k, ms in ms_by_key.items()
+    }
+
+
+def test_gate_update_writes_baseline_and_passes(tmp_path, monkeypatch, capsys):
+    gate = _load_gate()
+    monkeypatch.setattr(gate, "BASELINE_PATH", tmp_path / "headline.json")
+    monkeypatch.setattr(gate, "measure_rows",
+                        lambda: _rows({"a|b1|fused": 0.100}))
+    assert gate.main(["--update"]) == 0
+    saved = json.loads((tmp_path / "headline.json").read_text())
+    assert saved["a|b1|fused"]["ms"] == 0.100
+    # re-run within tolerance: ok
+    monkeypatch.setattr(gate, "measure_rows",
+                        lambda: _rows({"a|b1|fused": 0.105}))
+    assert gate.main([]) == 0
+    assert "bench_gate OK" in capsys.readouterr().out
+
+
+def test_gate_fails_on_drift_and_stale_rows(tmp_path, monkeypatch, capsys):
+    gate = _load_gate()
+    monkeypatch.setattr(gate, "BASELINE_PATH", tmp_path / "headline.json")
+    baseline = _rows({"a|b1|fused": 0.100, "gone|b1|fused": 0.2})
+    (tmp_path / "headline.json").write_text(json.dumps(baseline))
+    # 20% regression on a, missing baseline row for new, stale row gone
+    monkeypatch.setattr(gate, "measure_rows",
+                        lambda: _rows({"a|b1|fused": 0.120,
+                                       "new|b1|fused": 0.05}))
+    assert gate.main([]) == 1
+    out = capsys.readouterr().out
+    assert "drifted" in out and "no baseline row" in out
+    assert "no longer measured" in out
+    # wider tolerance passes the drift but stale/missing rows still fail
+    assert gate.main(["--tolerance", "0.5"]) == 1
+
+
+def test_gate_missing_baseline_writes_one(tmp_path, monkeypatch):
+    gate = _load_gate()
+    monkeypatch.setattr(gate, "BASELINE_PATH", tmp_path / "none.json")
+    monkeypatch.setattr(gate, "measure_rows",
+                        lambda: _rows({"a|b1|fused": 0.1}))
+    assert gate.main([]) == 0  # first run bootstraps the baseline
+    assert (tmp_path / "none.json").exists()

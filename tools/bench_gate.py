@@ -27,12 +27,12 @@ sys.path.insert(0, ".")
 # The shipping-best (model, batch, kernel_mode) per family — keep in sync
 # with the headline rows in BENCHMARKS.md / README.md.
 HEADLINE = [
-    ("deit_tiny", 1, "fused"),
-    ("deit_tiny", 128, "fused"),
+    ("deit_tiny", 1, "int8_static"),
+    ("deit_tiny", 128, "int8_static"),
     ("deit_small", 1, "int8_static"),
     ("deit_base", 1, "int8_static"),
     ("deit_base", 64, "int8_static"),
-    ("swin_tiny", 1, "int8"),
+    ("swin_tiny", 1, "int8_static"),
     ("swin_tiny", 32, "fused"),
     ("t2t_vit_14", 1, "fused"),
     ("t2t_vit_14", 32, "fused"),
