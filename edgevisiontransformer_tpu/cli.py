@@ -943,15 +943,18 @@ def cmd_latency_model(argv):
         encs = sample_random_configs(args.n, depth, max_heads, seed=args.seed)
         out = args.output or f"latency_{args.size}.csv"
         measure = measure_pruned_deit(args.size, batch=args.batch,
-                                      impl=args.impl)
-        # incremental writes: a killed multi-hour collect keeps its rows
+                                      impl=args.impl, detailed=True)
+        # incremental writes: a killed multi-hour collect keeps its rows;
+        # std/iters columns document each row's own noise floor
         with open(out, "w", newline="", buffering=1) as f:
             w = csv.writer(f)
-            w.writerow(["encoding", "ms"])
+            w.writerow(["encoding", "ms", "std_ms", "iters"])
             for i, enc in enumerate(encs):
-                ms = measure(enc)
-                w.writerow([enc, ms])
-                print(f"[{i + 1}/{len(encs)}] {enc} {ms:.4f} ms", flush=True)
+                r = measure(enc)
+                w.writerow([enc, r["p50_ms"], r["std_ms"], r["iters"]])
+                print(f"[{i + 1}/{len(encs)}] {enc} {r['p50_ms']:.4f} ms "
+                      f"(std {r['std_ms']:.4f}, iters {r['iters']})",
+                      flush=True)
         print(f"saved {len(encs)} rows -> {out}")
     elif args.action == "fit":
         if not args.data:

@@ -135,12 +135,14 @@ def collect_latency_dataset(
 
 
 def measure_pruned_deit(size: str = "tiny", batch: int = 1, dtype="bfloat16",
-                        impl: str = "fused"):
+                        impl: str = "fused", detailed: bool = False):
     """Returns measure(encoding) benchmarking the shape-specialized pruned
     model on the current device.  ``impl="fused"`` measures the shipping
     Pallas path (what the predictor should predict — the reference predicts
     its deployed ONNX latency, get_latency.py:34-152); ``"xla"`` the plain
-    jit apply."""
+    jit apply.  ``detailed``: return the full stats dict (p50/std/iters)
+    instead of the p50 float, so collected datasets can record their own
+    noise floor."""
     import jax
     import jax.numpy as jnp
 
@@ -163,17 +165,19 @@ def measure_pruned_deit(size: str = "tiny", batch: int = 1, dtype="bfloat16",
             fn = lambda p, xx: fused_vit_apply(model, p, xx)
         else:
             fn = lambda p, xx: model.apply(p, xx)
-        # min of 5 repeats: tunnel jitter only ADDS time, and the b1 spread
-        # between prune configs (~±25%) is close to the per-measurement
-        # noise — p50-of-3 produced occasional 0.0 rows (loop delta clamped
-        # by a slow run(1)).  Retry once with more iters if 0 survives.
-        r = measure_op_time(fn, (params, x), iters=100, repeats=5,
-                            chain_arg=1)
-        ms = r["min_ms"] or r["p50_ms"]
-        if ms <= 0:
-            r = measure_op_time(fn, (params, x), iters=400, repeats=5,
-                                chain_arg=1)
-            ms = r["min_ms"] or r["p50_ms"]
-        return ms
+        # Precision matters more than speed here: the b1 spread between
+        # prune configs (~±25%) is close to the default measurement noise
+        # (delta ~= 0.5x the ~36 ms tunnel fixed cost -> ±10-20%/sample),
+        # which capped the fit at acc10<=0.55.  Demand a delta that dwarfs
+        # the jitter (>=120 ms, ~3x fixed cost -> ±2%/sample) and take the
+        # p50 of 7 (delta noise is two-sided: a slow run(1) *deflates* it).
+        r = measure_op_time(fn, (params, x), iters=100, repeats=7,
+                            chain_arg=1, min_delta_ms=120.0)
+        if r["p50_ms"] <= 0:  # pathological clamp survived — retry larger
+            r = measure_op_time(fn, (params, x), iters=r["iters"] * 4,
+                                repeats=7, chain_arg=1, min_delta_ms=240.0)
+        if detailed:
+            return r
+        return r["p50_ms"]
 
     return measure
