@@ -543,10 +543,41 @@ def cmd_eval(argv):
     params = model.init(jax.random.key(0), jnp.ones((1, 3, 224, 224)))
     if args.checkpoint:
         params = load_checkpoint(args.checkpoint, params)
-    if args.impl == "fused":
+    from .models.swin import SwinTransformer
+
+    if isinstance(model, SwinTransformer) and args.impl != "xla":
+        # Swin cross-impl eval rides the whole-stage kernels; quantized
+        # stacks bundle into the params pytree (jit ARGS, not closures)
+        from .models.swin import (
+            fused_swin_apply,
+            prepare_swin_fused,
+            prepare_swin_int8,
+            prepare_swin_int8_static,
+        )
+
+        prep = prepare_swin_fused(model, params)
+        if args.impl in ("int8", "int8_fused"):
+            q = prepare_swin_int8(model, params)
+        elif args.impl in ("int8_static", "int8_static_fused"):
+            q = prepare_swin_int8_static(model, params)
+        else:
+            q = None
+        if q is not None and not q:
+            raise SystemExit(f"{args.model}: no stage qualifies for the "
+                             "int8 whole-stage kernel; use --impl fused")
+        params = {"v": params, "prep": prep, "q": q}
+        apply_fn = lambda p_, x_: fused_swin_apply(
+            model, p_["v"], x_, prepared=p_["prep"], int8_prepared=p_["q"])
+    elif args.impl == "fused":
+        from .models.t2t_vit import T2TViT, fused_t2t_apply, prepare_t2t_fused
         from .models.vit import fused_vit_apply
 
-        apply_fn = lambda p_, x_: fused_vit_apply(model, p_, x_)
+        if isinstance(model, T2TViT):
+            params = {"v": params, "prep": prepare_t2t_fused(model, params)}
+            apply_fn = lambda p_, x_: fused_t2t_apply(
+                model, p_["v"], x_, p_["prep"])
+        else:
+            apply_fn = lambda p_, x_: fused_vit_apply(model, p_, x_)
     elif args.impl == "int8":
         from .ops.quant import int8_vit_apply, quantize_vit_params_int8
 

@@ -126,6 +126,25 @@ def test_eval_cmd_impl_consistency(tmp_path, capsys):
         assert "top1" in out
 
 
+def test_eval_cmd_swin_fused_impls(tmp_path, capsys):
+    """eval --impl fused/int8 dispatches Swin through the whole-stage
+    kernels (was ViT-only and would mis-apply fused_vit_apply)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for cls in ["a", "b"]:
+        d = tmp_path / "val" / cls
+        d.mkdir(parents=True)
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+            d / "0.jpg")
+    for impl in ("fused", "int8"):
+        assert main([
+            "eval", "--model", "swin_tiny", "--data-dir",
+            str(tmp_path / "val"), "--batch", "2", "--impl", impl,
+        ]) == 0
+        assert "top1" in capsys.readouterr().out
+
+
 def _tiny_imagefolder(tmp_path, n_cls=2, n_img=2, size=64):
     from PIL import Image
 
