@@ -268,9 +268,28 @@ def cmd_profile(argv):
         from .bench.looptimer import measure_op_time
 
         if args.kernel_mode == "fused":
+            from .models.swin import (
+                SwinTransformer,
+                fused_swin_apply,
+                prepare_swin_fused,
+            )
+            from .models.t2t_vit import (
+                T2TViT,
+                fused_t2t_apply,
+                prepare_t2t_fused,
+            )
             from .models.vit import fused_vit_apply
 
-            fn = jax.jit(lambda p_, x_: fused_vit_apply(model, p_, x_))
+            if isinstance(model, SwinTransformer):
+                prep = prepare_swin_fused(model, params)
+                fn = jax.jit(lambda p_, x_: fused_swin_apply(
+                    model, p_, x_, prepared=prep))
+            elif isinstance(model, T2TViT):
+                prep = prepare_t2t_fused(model, params)
+                fn = jax.jit(lambda p_, x_: fused_t2t_apply(
+                    model, p_, x_, prep))
+            else:
+                fn = jax.jit(lambda p_, x_: fused_vit_apply(model, p_, x_))
         else:
             fn = jax.jit(lambda p_, x_: model.apply(p_, x_))
         fn(params, x).block_until_ready()
