@@ -20,8 +20,31 @@ from __future__ import annotations
 import json
 import sys
 
-import jax
-import jax.numpy as jnp
+
+def _import_jax_guarded(timeout_s: int = 240):
+    """import jax with a hang guard: when the axon tunnel is down, backend
+    init inside the import blocks ~30 min in an uninterruptible C call
+    before raising UNAVAILABLE (observed 2026-08-17; SIGALRM cannot break
+    it).  Probe backend init in a killable SUBPROCESS first and fail fast
+    with a clean JSON error line so the driver's bench run isn't stuck."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        raise TimeoutError(f"jax backend init exceeded {timeout_s}s "
+                           "(TPU tunnel down?)")
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-1:]
+        raise RuntimeError(f"jax backend init failed: {' '.join(tail)}")
+
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
 
 # v5e per-chip peaks.
 PEAK_BF16_FLOPS = 197e12
@@ -44,6 +67,15 @@ def deit_flops(dim: int, depth: int, mlp: int, n_tokens: int = 197) -> float:
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     kernel_mode = sys.argv[2] if len(sys.argv) > 2 else "fused"
+    try:
+        jax, jnp = _import_jax_guarded()
+    except Exception as e:  # noqa: BLE001 — report, don't hang
+        print(json.dumps({
+            "metric": f"deit_tiny_b{batch}_bf16_device_ms",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        raise SystemExit(1)
     dtype = jnp.bfloat16
 
     from edgevisiontransformer_tpu.bench.looptimer import measure_op_time
