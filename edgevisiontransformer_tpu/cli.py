@@ -973,6 +973,9 @@ def cmd_latency_model(argv):
     p.add_argument("--encoding", default=None, help='"h_4_d_0.4-..." to predict')
     p.add_argument("--impl", default="fused", choices=["fused", "xla"],
                    help="collect: which inference path to measure")
+    p.add_argument("--cv", type=int, default=5,
+                   help="fit: also report k-fold cross-validated metrics "
+                        "(0 disables)")
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
 
@@ -1017,16 +1020,28 @@ def cmd_latency_model(argv):
                   f"(measurement failures)")
             rows = [r for r in rows if float(r["ms"]) > 0]
         pred = LatencyPredictor()
-        metrics = pred.fit([r["encoding"] for r in rows],
-                           [float(r["ms"]) for r in rows])
+        encs = [r["encoding"] for r in rows]
+        ys = [float(r["ms"]) for r in rows]
+        metrics = pred.fit(encs, ys)
         out = args.output or "latency_model.pkl"
         pred.save(out)
         if metrics:
             rmse, rmspe, rel, a5, a10, a15 = metrics
-            print(json.dumps({
+            rec = {
                 "rmse": rmse, "rmspe_pct": rmspe, "rel_rmse": rel,
                 "acc_5pct": a5, "acc_10pct": a10, "acc_15pct": a15,
-            }))
+            }
+            if args.cv and len(rows) >= args.cv:
+                # pooled out-of-fold metrics: steadier than one 80/20 split
+                c_rmse, c_rmspe, c_rel, c5, c10, c15 = pred.cv_metrics(
+                    encs, ys, k=args.cv)
+                rec.update({
+                    "cv_folds": args.cv, "cv_rmse": c_rmse,
+                    "cv_rmspe_pct": c_rmspe, "cv_rel_rmse": c_rel,
+                    "cv_acc_5pct": c5, "cv_acc_10pct": c10,
+                    "cv_acc_15pct": c15,
+                })
+            print(json.dumps(rec))
         print(f"saved predictor -> {out}")
     else:  # predict
         if not (args.predictor and args.encoding):

@@ -102,6 +102,26 @@ class LatencyPredictor:
         self.fitted = True
         return metrics
 
+    def cv_metrics(self, encodings: Sequence[str],
+                   latencies_ms: Sequence[float], k: int = 5):
+        """K-fold cross-validated lat_metrics (pooled out-of-fold
+        predictions).  The reference reports a single 80/20 split
+        (latency_model.py:56-66); on ~100 rows that split's metrics jitter
+        with the seed, so the pooled-CV numbers are the steadier read.
+        Leaves self.model untouched (fresh clones per fold)."""
+        from sklearn.base import clone
+        from sklearn.model_selection import KFold
+
+        X = np.asarray([parse_features(e) for e in encodings])
+        y = np.asarray(list(latencies_ms), np.float64)
+        preds = np.empty_like(y)
+        for tr, te in KFold(n_splits=k, shuffle=True,
+                            random_state=10).split(X):
+            m = clone(self.model)
+            m.fit(X[tr], y[tr])
+            preds[te] = m.predict(X[te])
+        return lat_metrics(preds, y)
+
     def predict(self, encoding: str) -> float:
         return float(self.model.predict([parse_features(encoding)])[0])
 
