@@ -1094,6 +1094,50 @@ def cmd_flops(argv):
     }, indent=2))
 
 
+def cmd_plot(argv):
+    """Figures (reference draw.py): accuracy-vs-MACs anchor curves and a
+    measured latency-vs-MACs scatter from a sweep jsonl."""
+    p = argparse.ArgumentParser(prog="plot")
+    p.add_argument("which", choices=["macs_accuracy", "latency_macs"])
+    p.add_argument("--sweep", default=None,
+                   help="latency_macs: bench sweep jsonl of measured rows")
+    p.add_argument("--batch", type=int, default=1,
+                   help="latency_macs: which batch's rows to plot")
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    from .utils.plots import draw_latency_vs_macs, draw_macs_accuracy_curve
+
+    if args.which == "macs_accuracy":
+        out = draw_macs_accuracy_curve(args.output or "macs_accuracy.png")
+    else:
+        if not args.sweep:
+            raise SystemExit("latency_macs needs --sweep <jsonl>")
+        from .utils.flops import bench_row_flops
+
+        best = {}
+        with open(args.sweep) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                d = json.loads(line)
+                if "ms" not in d or d.get("batch") != args.batch:
+                    continue
+                fl = bench_row_flops(d["name"])
+                if not fl:
+                    continue
+                if d["name"] not in best or d["ms"] < best[d["name"]][1]:
+                    best[d["name"]] = (fl / 2e9, d["ms"])  # GMACs, ms
+        if not best:
+            raise SystemExit(f"no plottable b{args.batch} rows in "
+                             f"{args.sweep}")
+        out = draw_latency_vs_macs(
+            best, args.output or "latency_macs.png",
+            title=f"TPU v5e latency vs MACs (batch {args.batch})")
+    print(f"wrote {out}")
+
+
 COMMANDS = {
     "models": cmd_models,
     "benchmark": cmd_benchmark,
@@ -1114,6 +1158,7 @@ COMMANDS = {
     "latency_model": cmd_latency_model,
     "experiments": cmd_experiments,
     "flops": cmd_flops,
+    "plot": cmd_plot,
 }
 
 

@@ -217,3 +217,34 @@ MODEL_FLOPS.update({
     "t2t_vit_12": t2t_vit_flops(256, 12, 4, 512),
     "t2t_vit_14": t2t_vit_flops(384, 14, 6, 1152),
 })
+
+
+def bench_row_flops(name: str):
+    """FLOPs for a benchmark-row model name: strips impl suffixes
+    (_fused/_int8[_static]/_xla/...) and resolves pruned_deit encodings
+    (uniform and layerwise; layerwise averages the per-layer settings).
+    Returns None for names with no analytic model (CNN zoo rows)."""
+    base = (name.replace("_xla", "").replace("_fullfused", "")
+            .replace("_pallas", ""))
+    for suffix in ("_fused", "_int8_static", "_int8"):
+        base = base.replace(suffix, "")
+    if base.startswith("pruned_deit_"):
+        rest = base[len("pruned_deit_"):]
+        size, _, enc = rest.partition("@")
+        if enc.startswith("layerwise_"):
+            toks = enc[len("layerwise_"):].split("_")
+            pairs = [t.split("-") for t in toks]
+            total = 0.0
+            for h, d in pairs:
+                total += pruned_deit_flops(
+                    size, int(h.replace("h", "")),
+                    1.0 - float(d.replace("d", "")),
+                ) / len(pairs)
+            return total
+        toks = enc.split("_")
+        heads = int(toks[1].replace("head", ""))
+        ffn_keep = float(toks[2].replace("ffn", ""))
+        return pruned_deit_flops(size, heads, 1.0 - ffn_keep)
+    if base.startswith("deit_tiny_fused_npad"):
+        return MODEL_FLOPS["deit_tiny"]
+    return MODEL_FLOPS.get(base)

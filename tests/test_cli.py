@@ -92,6 +92,25 @@ def test_convert_swin_dynamic_saves_stage_stacks(tmp_path, capsys):
     assert "qkv_w" in tree["stage_1"] and "act_inv" not in tree["stage_1"]
 
 
+def test_plot_cmd(tmp_path, capsys):
+    """plot renders the draw.py-style figures (anchor curve + measured
+    latency-vs-MACs from a sweep jsonl)."""
+    out = tmp_path / "ma.png"
+    assert main(["plot", "macs_accuracy", "--output", str(out)]) == 0
+    assert out.stat().st_size > 1000
+    sweep = tmp_path / "s.jsonl"
+    sweep.write_text(
+        json.dumps({"name": "deit_tiny", "batch": 1, "ms": 0.08,
+                    "img_per_s": 12500, "impl": "xla"}) + "\n"
+        + json.dumps({"name": "pruned_deit_tiny@all_head1_ffn0.3_fused",
+                      "batch": 1, "ms": 0.03, "img_per_s": 3e4,
+                      "impl": "fused"}) + "\n")
+    out2 = tmp_path / "lm.png"
+    assert main(["plot", "latency_macs", "--sweep", str(sweep),
+                 "--output", str(out2)]) == 0
+    assert out2.stat().st_size > 1000
+
+
 def test_quant_accuracy_cmd(capsys):
     assert main([
         "quant_accuracy", "--model", "deit_tiny", "--batches", "1",

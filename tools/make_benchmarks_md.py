@@ -8,38 +8,10 @@ import sys
 sys.path.insert(0, ".")
 
 from edgevisiontransformer_tpu.utils.flops import (  # noqa: E402
-    MODEL_FLOPS,
-    pruned_deit_flops,
+    bench_row_flops as model_flops,
 )
 
 PEAK_BF16 = 197e12
-
-
-def model_flops(name: str):
-    base = name.replace("_xla", "").replace("_fullfused", "").replace("_pallas", "")
-    for suffix in ("_fused", "_int8_static", "_int8"):
-        base = base.replace(suffix, "")
-    if base.startswith("pruned_deit_"):
-        rest = base[len("pruned_deit_"):]
-        size, _, enc = rest.partition("@")
-        if enc.startswith("layerwise_"):
-            # average the per-layer (heads, density) settings
-            toks = enc[len("layerwise_"):].split("_")
-            pairs = [t.split("-") for t in toks]
-            total = 0.0
-            for h, d in pairs:
-                total += pruned_deit_flops(
-                    size, int(h.replace("h", "")),
-                    1.0 - float(d.replace("d", "")),
-                ) / len(pairs)
-            return total
-        toks = enc.split("_")
-        heads = int(toks[1].replace("head", ""))
-        ffn_keep = float(toks[2].replace("ffn", ""))
-        return pruned_deit_flops(size, heads, 1.0 - ffn_keep)
-    if base.startswith("deit_tiny_fused_npad"):
-        return MODEL_FLOPS["deit_tiny"]
-    return MODEL_FLOPS.get(base)
 
 
 def main(*paths):
