@@ -67,6 +67,10 @@ function full_sweep() {
     # fastest p50 per row across sessions — only valid for identical code)
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py bench_sweep_r3.jsonl
     python tools/make_benchmarks_md.py bench_sweep_r3.jsonl BENCHMARKS.md
+    # draw.py-style figures from the same campaign
+    $CLI plot macs_accuracy --output macs_accuracy.png || true
+    $CLI plot latency_macs --sweep bench_sweep_r3.jsonl --batch 1 \
+        --output latency_macs.png || true
 }
 
 # --- profiling (reference --enable_op_profiling + analyse.py) ---------------
