@@ -280,28 +280,34 @@ def cmd_profile(argv):
             )
             from .models.vit import fused_vit_apply
 
+            # prepared constants ride as jit ARGUMENTS, not closures —
+            # closing over the padded fp32 rel-pos biases bakes them into
+            # the HLO (the documented HTTP-413 compile-bloat hazard)
+            prep = None
             if isinstance(model, SwinTransformer):
                 prep = prepare_swin_fused(model, params)
-                fn = jax.jit(lambda p_, x_: fused_swin_apply(
-                    model, p_, x_, prepared=prep))
+                fn = jax.jit(lambda p_, pr_, x_: fused_swin_apply(
+                    model, p_, x_, prepared=pr_))
             elif isinstance(model, T2TViT):
                 prep = prepare_t2t_fused(model, params)
-                fn = jax.jit(lambda p_, x_: fused_t2t_apply(
-                    model, p_, x_, prep))
+                fn = jax.jit(lambda p_, pr_, x_: fused_t2t_apply(
+                    model, p_, x_, pr_))
             else:
                 fn = jax.jit(lambda p_, x_: fused_vit_apply(model, p_, x_))
         else:
+            prep = None
             fn = jax.jit(lambda p_, x_: model.apply(p_, x_))
-        fn(params, x).block_until_ready()
+        fargs = (params, x) if prep is None else (params, prep, x)
+        fn(*fargs).block_until_ready()
 
         def run_once():
-            jax.device_get(fn(params, x))  # device fetch = true sync (CLAUDE.md)
+            jax.device_get(fn(*fargs))  # device fetch = true sync (CLAUDE.md)
 
         rows, total = profile_trace(run_once, iters=args.iters)
         # §4.4 sanity oracle: per-op sums must reconcile with the end-to-end
         # loop-delta latency (reference analyse.py:193-216 cross-check)
-        e2e = measure_op_time(fn, (params, x), iters=100, repeats=3,
-                              chain_arg=1)["p50_ms"]
+        e2e = measure_op_time(fn, fargs, iters=100, repeats=3,
+                              chain_arg=len(fargs) - 1)["p50_ms"]
         ratio = total / e2e if e2e else float("nan")
         print(f"trace per-op sum {total:.4f} ms vs end-to-end {e2e:.4f} ms "
               f"(ratio {ratio:.2f})")
@@ -391,8 +397,21 @@ def cmd_convert(argv):
         print(f"int8 stages: {meta['int8_stages']}")
     elif args.quantization == "dynamic":
         out = quantize_vit_params_int8(params)
+        _p = out["params"] if "params" in out else out
+        if not any(k.startswith("block_") for k in _p):
+            raise SystemExit(
+                f"{args.model}: no encoder blocks to quantize — dynamic "
+                "int8 targets transformer encoders (ViT/DeiT/T2T)")
     else:  # int8 = FULL-INTEGER static: calibrate on representative data
         # (the converter's TFLITE_BUILTINS_INT8 path, utils.py:263-277)
+        from .models.vit import ViT as _ViT
+
+        if not isinstance(model, _ViT):
+            raise SystemExit(
+                f"{args.model}: static-int8 calibration targets the "
+                "plain-ViT family (calibrate_vit walks the ViT forward); "
+                "T2T supports --quantization dynamic (encoder blocks "
+                "quantize, tokenizer stays float)")
         import numpy as np
 
         from .cache import enable_compilation_cache
@@ -438,6 +457,13 @@ def cmd_quant_accuracy(argv):
     )
 
     model, in_shape = _build_model(args.model, args.style, dtype="float32")
+    from .models.vit import ViT as _ViT
+
+    if not isinstance(model, _ViT):
+        raise SystemExit(
+            f"{args.model}: quant_accuracy supports the plain-ViT family "
+            "(int8_vit_apply[_static] walk the ViT forward); Swin int8 "
+            "parity is tested via its whole-stage kernels (convert/eval)")
     x0 = jnp.ones((1,) + in_shape)
     if args.from_hf:
         from .utils.hf_import import import_hf_vit
@@ -1171,7 +1197,9 @@ def main(argv=None):
     ret = COMMANDS[argv[0]](argv[1:])
     # commands may return their result dict for programmatic callers
     # (bench_gate imports cmd_benchmark); only ints are exit codes
-    return ret if isinstance(ret, int) else 0
+    # bool is an int subclass — a command returning True for success must
+    # not become exit code 1
+    return ret if isinstance(ret, int) and not isinstance(ret, bool) else 0
 
 
 if __name__ == "__main__":

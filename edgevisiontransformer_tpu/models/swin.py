@@ -559,8 +559,13 @@ def prepare_swin_int8_static(model: "SwinTransformer", variables,
     activation scale, plus ``act_inv`` [depth, 4] for the kernel's SMEM
     quantizers — no per-row absmax/reciprocal at inference (full-integer
     analogue, mirrors the ViT encoder's static mode)."""
-    act_scales = calibrate_swin(model, variables, batches=batches, n=n)
+    # quantize/qualify FIRST: the n-batch device calibration is the
+    # expensive step, so bail out before it when no stage passes the
+    # whole-stage fits gate (callers raise on an empty dict)
     out = prepare_swin_int8(model, variables, min_dim=min_dim)
+    if not out:
+        return out
+    act_scales = calibrate_swin(model, variables, batches=batches, n=n)
     keys = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
     for si, stacked in out.items():
         act = jnp.asarray(act_scales[si])  # [depth, 4]

@@ -226,6 +226,10 @@ def bench_row_flops(name: str):
     Returns None for names with no analytic model (CNN zoo rows)."""
     base = (name.replace("_xla", "").replace("_fullfused", "")
             .replace("_pallas", ""))
+    # npad experiment rows ("deit_tiny_fused_npad8") carry the kernel-mode
+    # token in the middle — match BEFORE the suffix strip removes it
+    if base.startswith("deit_tiny_fused_npad"):
+        return MODEL_FLOPS["deit_tiny"]
     for suffix in ("_fused", "_int8_static", "_int8"):
         base = base.replace(suffix, "")
     if base.startswith("pruned_deit_"):
