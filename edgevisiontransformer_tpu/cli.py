@@ -114,9 +114,26 @@ def cmd_benchmark(argv):
             fn = lambda p_, sq_, x_: fused_vit_apply_int8(model, p_, x_, sq_)
             extra = (sq,)
         else:
-            raise SystemExit(
-                f"--kernel-mode int8 supports ViT/DeiT and Swin models, not "
-                f"{type(model).__name__} ({args.model})")
+            from .models.t2t_vit import (
+                T2TViT,
+                fused_t2t_apply_int8,
+                prepare_t2t_fused,
+                prepare_t2t_int8,
+                prepare_t2t_int8_static,
+            )
+
+            if not isinstance(model, T2TViT):
+                raise SystemExit(
+                    f"--kernel-mode int8 supports ViT/DeiT, Swin and T2T "
+                    f"models, not {type(model).__name__} ({args.model})")
+            if args.kernel_mode == "int8_static":
+                sq = prepare_t2t_int8_static(model, params)
+            else:
+                sq = prepare_t2t_int8(model, params)
+            prep = prepare_t2t_fused(model, params)
+            fn = lambda p_, sq_, pp_, x_: fused_t2t_apply_int8(
+                model, p_, x_, sq_, prepared=pp_)
+            extra = (sq, prep)
     elif args.kernel_mode == "fused":
         from .models.swin import SwinTransformer, fused_swin_apply, prepare_swin_fused
         from .models.t2t_vit import T2TViT, fused_t2t_apply, prepare_t2t_fused
@@ -404,23 +421,28 @@ def cmd_convert(argv):
                 "int8 targets transformer encoders (ViT/DeiT/T2T)")
     else:  # int8 = FULL-INTEGER static: calibrate on representative data
         # (the converter's TFLITE_BUILTINS_INT8 path, utils.py:263-277)
+        from .models.t2t_vit import T2TViT as _T2T
         from .models.vit import ViT as _ViT
 
-        if not isinstance(model, _ViT):
+        if not isinstance(model, (_ViT, _T2T)):
             raise SystemExit(
                 f"{args.model}: static-int8 calibration targets the "
-                "plain-ViT family (calibrate_vit walks the ViT forward); "
-                "T2T supports --quantization dynamic (encoder blocks "
-                "quantize, tokenizer stays float)")
+                "ViT/DeiT and T2T families (the calibrators walk those "
+                "forwards); CNNs support --quantization float16/bfloat16")
         import numpy as np
 
         from .cache import enable_compilation_cache
-        from .ops.quant import calibrate_vit, quantize_vit_params_int8_static
+        from .ops.quant import (
+            calibrate_t2t,
+            calibrate_vit,
+            quantize_vit_params_int8_static,
+        )
 
         enable_compilation_cache()
 
-        scales = calibrate_vit(model, params, n=args.calib_batches,
-                               percentile=args.calib_percentile)
+        calibrate = calibrate_t2t if isinstance(model, _T2T) else calibrate_vit
+        scales = calibrate(model, params, n=args.calib_batches,
+                           percentile=args.calib_percentile)
         out = quantize_vit_params_int8_static(params, scales)
         meta["act_scales"] = np.asarray(scales).tolist()
         meta["calib_batches"] = args.calib_batches
@@ -447,8 +469,11 @@ def cmd_quant_accuracy(argv):
     import numpy as np
 
     from .ops.quant import (
+        calibrate_t2t,
         calibrate_vit,
         cast_params,
+        int8_t2t_apply,
+        int8_t2t_apply_static,
         int8_vit_apply,
         int8_vit_apply_static,
         quantize_vit_params_int8,
@@ -457,13 +482,15 @@ def cmd_quant_accuracy(argv):
     )
 
     model, in_shape = _build_model(args.model, args.style, dtype="float32")
+    from .models.t2t_vit import T2TViT as _T2T
     from .models.vit import ViT as _ViT
 
-    if not isinstance(model, _ViT):
+    if not isinstance(model, (_ViT, _T2T)):
         raise SystemExit(
-            f"{args.model}: quant_accuracy supports the plain-ViT family "
-            "(int8_vit_apply[_static] walk the ViT forward); Swin int8 "
+            f"{args.model}: quant_accuracy supports the ViT/DeiT and T2T "
+            "families (the int8 oracles walk those forwards); Swin int8 "
             "parity is tested via its whole-stage kernels (convert/eval)")
+    is_t2t = isinstance(model, _T2T)
     x0 = jnp.ones((1,) + in_shape)
     if args.from_hf:
         from .utils.hf_import import import_hf_vit
@@ -475,10 +502,13 @@ def cmd_quant_accuracy(argv):
     from .cache import enable_compilation_cache
 
     enable_compilation_cache()
-    scales = calibrate_vit(model, params, n=args.calib_batches)
+    calibrate = calibrate_t2t if is_t2t else calibrate_vit
+    scales = calibrate(model, params, n=args.calib_batches)
     qdyn = quantize_vit_params_int8(params)
     qstat = quantize_vit_params_int8_static(params, scales)
     pbf16 = cast_params(params, jnp.bfloat16)
+    apply_dyn = int8_t2t_apply if is_t2t else int8_vit_apply
+    apply_stat = int8_t2t_apply_static if is_t2t else int8_vit_apply_static
 
     # params/qparams are jit ARGUMENTS (partial over the first slot), not
     # closures: closing over the weight pytree bakes it into the HLO and
@@ -491,9 +521,9 @@ def cmd_quant_accuracy(argv):
             jax.jit(lambda p_, x: model.apply(p_, x.astype(jnp.bfloat16))),
             pbf16),
         "dynamic_int8": functools.partial(
-            jax.jit(lambda q_, x: int8_vit_apply(model, q_, x)), qdyn),
+            jax.jit(lambda q_, x: apply_dyn(model, q_, x)), qdyn),
         "static_int8": functools.partial(
-            jax.jit(lambda q_, x: int8_vit_apply_static(model, q_, x)), qstat),
+            jax.jit(lambda q_, x: apply_stat(model, q_, x)), qstat),
     }
     ref_fn = functools.partial(jax.jit(lambda p_, x: model.apply(p_, x)),
                                params)
@@ -624,21 +654,43 @@ def cmd_eval(argv):
         else:
             apply_fn = lambda p_, x_: fused_vit_apply(model, p_, x_)
     elif args.impl == "int8":
-        from .ops.quant import int8_vit_apply, quantize_vit_params_int8
+        from .models.t2t_vit import T2TViT
+        from .ops.quant import (
+            int8_t2t_apply,
+            int8_vit_apply,
+            quantize_vit_params_int8,
+        )
 
         params = quantize_vit_params_int8(params)
-        apply_fn = lambda p_, x_: int8_vit_apply(model, p_, x_)
+        if isinstance(model, T2TViT):
+            apply_fn = lambda p_, x_: int8_t2t_apply(model, p_, x_)
+        else:
+            apply_fn = lambda p_, x_: int8_vit_apply(model, p_, x_)
     elif args.impl == "int8_static":
+        from .models.t2t_vit import T2TViT
         from .ops.quant import (
+            calibrate_t2t,
             calibrate_vit,
+            int8_t2t_apply_static,
             int8_vit_apply_static,
             quantize_vit_params_int8_static,
         )
 
-        params = quantize_vit_params_int8_static(
-            params, calibrate_vit(model, params))
-        apply_fn = lambda p_, x_: int8_vit_apply_static(model, p_, x_)
+        if isinstance(model, T2TViT):
+            params = quantize_vit_params_int8_static(
+                params, calibrate_t2t(model, params))
+            apply_fn = lambda p_, x_: int8_t2t_apply_static(model, p_, x_)
+        else:
+            params = quantize_vit_params_int8_static(
+                params, calibrate_vit(model, params))
+            apply_fn = lambda p_, x_: int8_vit_apply_static(model, p_, x_)
     elif args.impl in ("int8_fused", "int8_static_fused"):
+        from .models.t2t_vit import (
+            T2TViT,
+            fused_t2t_apply_int8,
+            prepare_t2t_int8,
+            prepare_t2t_int8_static,
+        )
         from .models.vit import (
             fused_vit_apply_int8,
             prepare_vit_int8,
@@ -647,11 +699,20 @@ def cmd_eval(argv):
 
         # bundle the quantized stack into the params pytree so evaluate()'s
         # jit receives it as an argument, not a closed-over HLO constant
-        sq = (prepare_vit_int8_static(model, params)
-              if args.impl == "int8_static_fused"
-              else prepare_vit_int8(model, params))
-        params = {"v": params, "sq": sq}
-        apply_fn = lambda p_, x_: fused_vit_apply_int8(model, p_["v"], x_, p_["sq"])
+        if isinstance(model, T2TViT):
+            sq = (prepare_t2t_int8_static(model, params)
+                  if args.impl == "int8_static_fused"
+                  else prepare_t2t_int8(model, params))
+            params = {"v": params, "sq": sq}
+            apply_fn = lambda p_, x_: fused_t2t_apply_int8(
+                model, p_["v"], x_, p_["sq"])
+        else:
+            sq = (prepare_vit_int8_static(model, params)
+                  if args.impl == "int8_static_fused"
+                  else prepare_vit_int8(model, params))
+            params = {"v": params, "sq": sq}
+            apply_fn = lambda p_, x_: fused_vit_apply_int8(
+                model, p_["v"], x_, p_["sq"])
     else:
         apply_fn = model.apply
     acc = evaluate(apply_fn, params, args.data_dir, batch_size=args.batch,

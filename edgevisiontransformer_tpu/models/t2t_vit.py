@@ -326,15 +326,17 @@ def _performer_rest(x_kqv, p, consts, cfg, emb: int):
     return y + h
 
 
-def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
-                    prepared: dict | None = None) -> jax.Array:
-    """T2T forward with the fast stage-1 tokenizer and the fused
-    (DMA-pipelined) Pallas encoder.  Same params as ``model.apply``."""
-    from ..ops.pallas.fused_encoder import (
-        encoder_forward_pipelined,
-        stack_vit_layer_params,
-    )
+def t2t_tokenize(model: "T2TViT", variables, img: jax.Array,
+                 prepared: dict | None = None,
+                 fast: bool | None = None) -> jax.Array:
+    """Tokens-to-token stem + cls + sinusoid pos: everything before the
+    encoder, shared by the fused bf16/int8 paths and the static-int8
+    calibration collector (ops/quant.calibrate_t2t).
 
+    ``fast``: use the shift-expanded stage-1 matmul (b1 latency win; default
+    at batch < 8) vs the plain-unfold tokenizer (throughput win at serving
+    batches, and the exact-form used for calibration).  Both forms are
+    numerically equivalent modulo bf16 rounding."""
     cfg = model.config
     dt = cfg.dtype
     p = variables["params"]
@@ -343,7 +345,9 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
     tok_c = consts.get("tokens_to_token", {})
 
     img = img.astype(dt)
-    if img.shape[0] >= 8:
+    if fast is None:
+        fast = img.shape[0] < 8
+    if not fast:
         # serving batches: the shift-expanded stage-1 matmul trades ~3x
         # FLOPs for fewer dispatches — a b1 latency win that regresses
         # throughput (measured t2t_7 b32: 2.35 ms fused vs 1.77 XLA).
@@ -388,7 +392,24 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
     pos = consts.get("pos_embedding")
     if pos is None:
         pos = jnp.asarray(sinusoid_encoding(x.shape[1], cfg.dim))
-    x = x + pos.astype(dt)
+    return x + pos.astype(dt)
+
+
+def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
+                    prepared: dict | None = None) -> jax.Array:
+    """T2T forward with the fast stage-1 tokenizer and the fused
+    (DMA-pipelined) Pallas encoder.  Same params as ``model.apply``."""
+    from ..ops.pallas.fused_encoder import (
+        encoder_forward_pipelined,
+        stack_vit_layer_params,
+    )
+
+    cfg = model.config
+    dt = cfg.dtype
+    p = variables["params"]
+
+    x = t2t_tokenize(model, variables, img, prepared=prepared)
+    bsz = x.shape[0]
 
     stacked = stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias)
     stacked = jax.tree.map(lambda a: a.astype(dt), stacked)
@@ -418,6 +439,102 @@ def fused_t2t_apply(model: "T2TViT", variables, img: jax.Array,
             head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
             reference_residual=cfg.reference_residual,
             approx_gelu=cfg.gelu_approx)
+
+    x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
+                   cfg.layernorm_eps)
+    x = x[:, 0]
+    return x @ p["head"]["kernel"].astype(dt) + p["head"]["bias"].astype(dt)
+
+
+def prepare_t2t_int8(model: "T2TViT", variables) -> dict:
+    """Quantize the T2T encoder stack to int8 once (per-layer,
+    per-output-channel scales; the tokenizer stays float, like the ViT
+    embedding).  Pure function of the params — hoist out of the forward;
+    the result feeds fused_t2t_apply_int8."""
+    from ..ops.pallas.fused_encoder import (
+        quantize_stacked_int8,
+        stack_vit_layer_params,
+    )
+
+    cfg = model.config
+    stacked = stack_vit_layer_params(variables["params"], cfg.depth,
+                                     cfg.qkv_bias)
+    return quantize_stacked_int8(stacked)
+
+
+def prepare_t2t_int8_static(model: "T2TViT", variables,
+                            act_scales=None, calib_batches=None,
+                            percentile: float | None = None) -> dict:
+    """Static (full-integer-style) int8 prep for T2T: calibrate encoder
+    activation scales on representative data (ops/quant.calibrate_t2t) and
+    fold them into the quantized stack — mirrors prepare_vit_int8_static
+    (reference TFLITE_BUILTINS_INT8 analogue, utils.py:263-277)."""
+    from ..ops.pallas.fused_encoder import (
+        quantize_stacked_int8_static,
+        stack_vit_layer_params,
+    )
+    from ..ops.quant import calibrate_t2t
+
+    cfg = model.config
+    if act_scales is None:
+        act_scales = calibrate_t2t(model, variables, batches=calib_batches,
+                                   percentile=percentile)
+    stacked = stack_vit_layer_params(variables["params"], cfg.depth,
+                                     cfg.qkv_bias)
+    return quantize_stacked_int8_static(stacked, act_scales)
+
+
+def fused_t2t_apply_int8(model: "T2TViT", variables, img: jax.Array,
+                         stacked_q: dict | None = None,
+                         prepared: dict | None = None,
+                         batch_block: int | None = None,
+                         variant: str = "auto") -> jax.Array:
+    """T2T forward with the int8 whole-encoder kernel (dynamic with a
+    prepare_t2t_int8 stack, full-integer static with prepare_t2t_int8_static
+    — same dispatch gates as fused_vit_apply_int8).  The tokens-to-token
+    stem, final norm and head stay float, like the reference's dynamic mode
+    leaves non-matmul ops float (utils.py:260-262)."""
+    cfg = model.config
+    dt = cfg.dtype
+    p = variables["params"]
+    if stacked_q is None:
+        stacked_q = prepare_t2t_int8(model, variables)
+
+    from ..ops.pallas.common import default_batch_block, snap_batch_block
+    from ..ops.pallas.fused_encoder import (
+        encoder_forward_int8,
+        encoder_forward_int8_pipelined,
+        pipelined_weights_fit,
+    )
+
+    x = t2t_tokenize(model, variables, img, prepared=prepared)
+
+    inner = stacked_q["qkv_w"].shape[2]
+    mlp_d = stacked_q["fc1_w"].shape[2]
+    bm_eff = (min(batch_block, x.shape[0]) if batch_block is not None
+              else snap_batch_block(default_batch_block(cfg.dim), x.shape[0]))
+    iters = cfg.depth * cfg.heads * bm_eff
+    fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, cfg.heads,
+                                 cfg.resolved_head_dim, itemsize=1)
+    if variant == "pipelined" or (
+        variant == "auto" and fits and (iters <= 96 or bm_eff == 1)
+    ):
+        x = encoder_forward_int8_pipelined(
+            x, stacked_q,
+            heads=cfg.heads, head_dim=cfg.resolved_head_dim,
+            eps=cfg.layernorm_eps,
+            reference_residual=cfg.reference_residual,
+            approx_gelu=cfg.gelu_approx, batch_block=batch_block,
+            unroll=iters <= 96,
+        )
+    else:
+        x = encoder_forward_int8(
+            x, stacked_q,
+            heads=cfg.heads, head_dim=cfg.resolved_head_dim,
+            eps=cfg.layernorm_eps,
+            reference_residual=cfg.reference_residual,
+            approx_gelu=cfg.gelu_approx, batch_block=batch_block,
+        )
 
     x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
                    cfg.layernorm_eps)

@@ -158,7 +158,63 @@ def quantize_vit_params_int8(params: Dict) -> Dict:
             blk[sub] = dict(blk[sub])
             blk[sub][key] = {"q": q, "scale": s}
         new_p[name] = blk
-    return {"params": new_p} if "params" in params else new_p
+    # preserve sibling collections (e.g. T2T "constants") alongside params
+    return {**params, "params": new_p} if "params" in params else new_p
+
+
+def _mm_int8_dynamic(x_: jax.Array, leaf: Dict) -> jax.Array:
+    return int8_matmul_dynamic(x_, leaf["q"], leaf["scale"])
+
+
+def _mm_int8_static(x_: jax.Array, leaf: Dict) -> jax.Array:
+    return int8_matmul_static(x_, leaf["q"], leaf["scale"], leaf["act_scale"])
+
+
+def _int8_encoder_blocks(cfg, p: Dict, x: jax.Array, mm) -> jax.Array:
+    """Family-agnostic int8 encoder walk over embedded tokens: every matmul
+    routed through ``mm(x, quantized_leaf)`` (dynamic or static)."""
+    from .activations import get_gelu
+    from .attention import merge_heads, qkv_split, sdpa
+    from .layers import layer_norm
+
+    act = get_gelu(cfg.gelu_approx)
+    hd = cfg.resolved_head_dim
+    for i in range(cfg.depth):
+        blk = p[f"block_{i}"]
+        heads = cfg.layer_heads(i)
+        h = layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], cfg.layernorm_eps)
+        qkv = mm(h, blk["attn"]["qkv_kernel"])
+        if cfg.qkv_bias:
+            qkv = qkv + blk["attn"]["qkv_bias"].astype(qkv.dtype)
+        q, k, v = qkv_split(qkv, heads, hd)
+        ctx = merge_heads(sdpa(q, k, v, scale=hd**-0.5))
+        attn_out = mm(ctx, blk["attn"]["out_kernel"])
+        attn_out = attn_out + blk["attn"]["out_bias"].astype(attn_out.dtype)
+        x = (attn_out + h) if cfg.reference_residual else (x + attn_out)
+
+        h2 = layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], cfg.layernorm_eps)
+        hid = act(mm(h2, blk["ffn"]["fc1_kernel"])
+                  + blk["ffn"]["fc1_bias"].astype(x.dtype))
+        mlp = mm(hid, blk["ffn"]["fc2_kernel"])
+        mlp = mlp + blk["ffn"]["fc2_bias"].astype(mlp.dtype)
+        x = (mlp + h2) if cfg.reference_residual else (x + mlp)
+    return x
+
+
+def _vit_head(cfg, p: Dict, x: jax.Array) -> jax.Array:
+    """ViT epilogue: optional final norm, cls select, 1- or 2-layer head."""
+    from .activations import get_gelu
+    from .layers import layer_norm
+
+    if cfg.final_norm:
+        x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
+                       cfg.layernorm_eps)
+    x = x[:, 0]
+    if cfg.mlp_head:
+        act = get_gelu(cfg.gelu_approx)
+        h = act(x @ p["head_fc1"]["kernel"] + p["head_fc1"]["bias"])
+        return h @ p["head_fc2"]["kernel"] + p["head_fc2"]["bias"]
+    return x @ p["head"]["kernel"] + p["head"]["bias"]
 
 
 def int8_vit_apply(model, qparams: Dict, img: jax.Array) -> jax.Array:
@@ -167,53 +223,40 @@ def int8_vit_apply(model, qparams: Dict, img: jax.Array) -> jax.Array:
     Same math as models/vit.py ViT.__call__, with each encoder matmul routed
     through int8_matmul_dynamic.
     """
-    from ..models.vit import ViT  # noqa
-    from .activations import get_gelu
-    from .attention import merge_heads, qkv_split, sdpa
-    from .layers import layer_norm, patch_embed
+    cfg = model.config
+    p = qparams["params"] if "params" in qparams else qparams
+    x = _int8_encoder_blocks(cfg, p, _embed_vit(cfg, p, img), _mm_int8_dynamic)
+    return _vit_head(cfg, p, x)
+
+
+def int8_t2t_apply(model, qparams: Dict, img: jax.Array) -> jax.Array:
+    """T2T forward with int8 dynamic-range ENCODER matmuls (the
+    tokens-to-token stem stays float, like the ViT patch embed; the
+    reference's dynamic mode also leaves non-matmul ops float,
+    utils.py:260-262).  qparams from quantize_vit_params_int8 over the T2T
+    tree — the encoder blocks share the ViT layout."""
+    from ..models.t2t_vit import t2t_tokenize
 
     cfg = model.config
     p = qparams["params"] if "params" in qparams else qparams
-    img = img.astype(cfg.dtype)
-    x = patch_embed(img, p["patch_kernel"].astype(cfg.dtype),
-                    p["patch_bias"].astype(cfg.dtype), cfg.patch_size)
-    cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
-    x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
+    x = t2t_tokenize(model, qparams if "params" in qparams else {"params": qparams},
+                     img, fast=False)
+    x = _int8_encoder_blocks(cfg, p, x, _mm_int8_dynamic)
+    return _vit_head(cfg, p, x)
 
-    act = get_gelu(cfg.gelu_approx)
-    hd = cfg.resolved_head_dim
-    for i in range(cfg.depth):
-        blk = p[f"block_{i}"]
-        heads = cfg.layer_heads(i)
-        h = layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], cfg.layernorm_eps)
-        qkv = int8_matmul_dynamic(h, blk["attn"]["qkv_kernel"]["q"],
-                                  blk["attn"]["qkv_kernel"]["scale"])
-        if cfg.qkv_bias:
-            qkv = qkv + blk["attn"]["qkv_bias"].astype(qkv.dtype)
-        q, k, v = qkv_split(qkv, heads, hd)
-        ctx = merge_heads(sdpa(q, k, v, scale=hd**-0.5))
-        attn_out = int8_matmul_dynamic(ctx, blk["attn"]["out_kernel"]["q"],
-                                       blk["attn"]["out_kernel"]["scale"])
-        attn_out = attn_out + blk["attn"]["out_bias"].astype(attn_out.dtype)
-        x = (attn_out + h) if cfg.reference_residual else (x + attn_out)
 
-        h2 = layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], cfg.layernorm_eps)
-        hid = int8_matmul_dynamic(h2, blk["ffn"]["fc1_kernel"]["q"],
-                                  blk["ffn"]["fc1_kernel"]["scale"])
-        hid = act(hid + blk["ffn"]["fc1_bias"].astype(hid.dtype))
-        mlp = int8_matmul_dynamic(hid, blk["ffn"]["fc2_kernel"]["q"],
-                                  blk["ffn"]["fc2_kernel"]["scale"])
-        mlp = mlp + blk["ffn"]["fc2_bias"].astype(mlp.dtype)
-        x = (mlp + h2) if cfg.reference_residual else (x + mlp)
+def int8_t2t_apply_static(model, qparams: Dict, img: jax.Array) -> jax.Array:
+    """T2T forward with static (full-integer-style) int8 encoder matmuls —
+    the XLA-level numerics oracle for fused_t2t_apply_int8 with a
+    prepare_t2t_int8_static stack."""
+    from ..models.t2t_vit import t2t_tokenize
 
-    if cfg.final_norm:
-        x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
-                       cfg.layernorm_eps)
-    x = x[:, 0]
-    if cfg.mlp_head:
-        h = act(x @ p["head_fc1"]["kernel"] + p["head_fc1"]["bias"])
-        return h @ p["head_fc2"]["kernel"] + p["head_fc2"]["bias"]
-    return x @ p["head"]["kernel"] + p["head"]["bias"]
+    cfg = model.config
+    p = qparams["params"] if "params" in qparams else qparams
+    x = t2t_tokenize(model, qparams if "params" in qparams else {"params": qparams},
+                     img, fast=False)
+    x = _int8_encoder_blocks(cfg, p, x, _mm_int8_static)
+    return _vit_head(cfg, p, x)
 
 
 # ---------------------------------------------------------------------------
@@ -257,26 +300,13 @@ def calibrate_activation_scales(
 VIT_ACT_KEYS = ("qkv_in", "out_in", "fc1_in", "fc2_in")
 
 
-def vit_collect_matmul_inputs(model, variables, img: jax.Array) -> Dict[str, jax.Array]:
-    """Float forward that records every encoder matmul INPUT activation.
-
-    Returns {"block_{i}/qkv_in" | "out_in" | "fc1_in" | "fc2_in": array}.
-    These are the tensors the static-int8 kernels quantize with calibrated
-    per-tensor scales (the converter's representative-dataset pass,
-    /root/reference/utils.py:263-277).
-    """
-    from ..models.vit import ViT  # noqa
+def encoder_collect_matmul_inputs(cfg, p: Dict, x: jax.Array) -> Dict[str, jax.Array]:
+    """Float encoder walk over embedded tokens ``x`` recording every matmul
+    INPUT activation — the family-agnostic core of the calibration pass
+    (ViT starts from patch_embed, T2T from the tokens-to-token stem)."""
     from .activations import get_gelu
     from .attention import merge_heads, qkv_split, sdpa
-    from .layers import layer_norm, patch_embed
-
-    cfg = model.config
-    p = variables["params"] if "params" in variables else variables
-    img = img.astype(cfg.dtype)
-    x = patch_embed(img, p["patch_kernel"].astype(cfg.dtype),
-                    p["patch_bias"].astype(cfg.dtype), cfg.patch_size)
-    cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
-    x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
+    from .layers import layer_norm
 
     act = get_gelu(cfg.gelu_approx)
     hd = cfg.resolved_head_dim
@@ -307,15 +337,35 @@ def vit_collect_matmul_inputs(model, variables, img: jax.Array) -> Dict[str, jax
     return out
 
 
-def calibrate_vit(model, variables, batches=None, n: int = 100,
-                  percentile: float | None = None) -> np.ndarray:
-    """Calibrate a ViT's encoder matmul-input scales on representative data.
+def _embed_vit(cfg, p: Dict, img: jax.Array) -> jax.Array:
+    """ViT embedding prologue: patch embed + cls + learned pos."""
+    from .layers import patch_embed
 
-    Returns act_scales [depth, 4] fp32 (columns in VIT_ACT_KEYS order) — the
-    input to prepare_vit_int8_static / quantize_vit_params_int8_static.
-    ``batches`` defaults to the reference's 100 random-normal images
-    (utils.py:265-269).
+    img = img.astype(cfg.dtype)
+    x = patch_embed(img, p["patch_kernel"].astype(cfg.dtype),
+                    p["patch_bias"].astype(cfg.dtype), cfg.patch_size)
+    cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
+    return jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
+
+
+def vit_collect_matmul_inputs(model, variables, img: jax.Array) -> Dict[str, jax.Array]:
+    """Float forward that records every encoder matmul INPUT activation.
+
+    Returns {"block_{i}/qkv_in" | "out_in" | "fc1_in" | "fc2_in": array}.
+    These are the tensors the static-int8 kernels quantize with calibrated
+    per-tensor scales (the converter's representative-dataset pass,
+    /root/reference/utils.py:263-277).
     """
+    cfg = model.config
+    p = variables["params"] if "params" in variables else variables
+    return encoder_collect_matmul_inputs(cfg, p, _embed_vit(cfg, p, img))
+
+
+def _calibrate_encoder(embed_fn, model, variables, batches=None, n: int = 100,
+                       percentile: float | None = None) -> np.ndarray:
+    """Shared calibration driver: embed each representative batch with
+    ``embed_fn(variables, img)`` and reduce the encoder matmul-input absmaxes
+    to act_scales [depth, 4] (VIT_ACT_KEYS order)."""
     if batches is None:
         batches = representative_batches(
             n=n, shape=(3, model.config.image_size, model.config.image_size))
@@ -327,7 +377,8 @@ def calibrate_vit(model, variables, batches=None, n: int = 100,
     # The per-batch reduction to [depth, 4] also happens on device; only the
     # final accumulated array is fetched.
     def _collect_maxes(v, im):
-        acts = vit_collect_matmul_inputs(model, v, im)
+        p = v["params"] if "params" in v else v
+        acts = encoder_collect_matmul_inputs(model.config, p, embed_fn(v, im))
         rows = []
         for i in range(depth):
             cols = []
@@ -347,6 +398,38 @@ def calibrate_vit(model, variables, batches=None, n: int = 100,
     out = out / 127.0
     out[out <= 0] = 1.0
     return out
+
+
+def calibrate_vit(model, variables, batches=None, n: int = 100,
+                  percentile: float | None = None) -> np.ndarray:
+    """Calibrate a ViT's encoder matmul-input scales on representative data.
+
+    Returns act_scales [depth, 4] fp32 (columns in VIT_ACT_KEYS order) — the
+    input to prepare_vit_int8_static / quantize_vit_params_int8_static.
+    ``batches`` defaults to the reference's 100 random-normal images
+    (utils.py:265-269).
+    """
+    def embed(v, im):
+        p = v["params"] if "params" in v else v
+        return _embed_vit(model.config, p, im)
+
+    return _calibrate_encoder(embed, model, variables, batches=batches, n=n,
+                              percentile=percentile)
+
+
+def calibrate_t2t(model, variables, batches=None, n: int = 100,
+                  percentile: float | None = None) -> np.ndarray:
+    """calibrate_vit for the T2T family: the tokens-to-token stem embeds
+    (and stays float at deployment, like the ViT patch embed); the encoder
+    matmul inputs are collected identically.  Uses the plain-unfold
+    tokenizer form — the exact (non-shift-expanded) stage-1 math."""
+    from ..models.t2t_vit import t2t_tokenize
+
+    def embed(v, im):
+        return t2t_tokenize(model, v, im, fast=False)
+
+    return _calibrate_encoder(embed, model, variables, batches=batches, n=n,
+                              percentile=percentile)
 
 
 def quantize_activation_static(x: jax.Array, scale) -> jax.Array:
@@ -393,7 +476,8 @@ def quantize_vit_params_int8_static(params: Dict, act_scales: np.ndarray) -> Dic
             blk[sub][key] = {"q": q, "scale": s * a,
                              "act_scale": jnp.float32(a)}
         new_p[name] = blk
-    return {"params": new_p} if "params" in params else new_p
+    # preserve sibling collections (e.g. T2T "constants") alongside params
+    return {**params, "params": new_p} if "params" in params else new_p
 
 
 def int8_vit_apply_static(model, qparams: Dict, img: jax.Array) -> jax.Array:
@@ -403,53 +487,10 @@ def int8_vit_apply_static(model, qparams: Dict, img: jax.Array) -> jax.Array:
     its calibrated per-tensor scale (qparams from
     quantize_vit_params_int8_static) — the XLA-level numerics oracle for the
     static fused kernels."""
-    from ..models.vit import ViT  # noqa
-    from .activations import get_gelu
-    from .attention import merge_heads, qkv_split, sdpa
-    from .layers import layer_norm, patch_embed
-
     cfg = model.config
     p = qparams["params"] if "params" in qparams else qparams
-    img = img.astype(cfg.dtype)
-    x = patch_embed(img, p["patch_kernel"].astype(cfg.dtype),
-                    p["patch_bias"].astype(cfg.dtype), cfg.patch_size)
-    cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
-    x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
-
-    act = get_gelu(cfg.gelu_approx)
-    hd = cfg.resolved_head_dim
-
-    def mm(x_, leaf):
-        return int8_matmul_static(x_, leaf["q"], leaf["scale"], leaf["act_scale"])
-
-    for i in range(cfg.depth):
-        blk = p[f"block_{i}"]
-        heads = cfg.layer_heads(i)
-        h = layer_norm(x, blk["ln1"]["scale"], blk["ln1"]["bias"], cfg.layernorm_eps)
-        qkv = mm(h, blk["attn"]["qkv_kernel"])
-        if cfg.qkv_bias:
-            qkv = qkv + blk["attn"]["qkv_bias"].astype(qkv.dtype)
-        q, k, v = qkv_split(qkv, heads, hd)
-        ctx = merge_heads(sdpa(q, k, v, scale=hd**-0.5))
-        attn_out = mm(ctx, blk["attn"]["out_kernel"])
-        attn_out = attn_out + blk["attn"]["out_bias"].astype(attn_out.dtype)
-        x = (attn_out + h) if cfg.reference_residual else (x + attn_out)
-
-        h2 = layer_norm(x, blk["ln2"]["scale"], blk["ln2"]["bias"], cfg.layernorm_eps)
-        hid = act(mm(h2, blk["ffn"]["fc1_kernel"])
-                  + blk["ffn"]["fc1_bias"].astype(x.dtype))
-        mlp = mm(hid, blk["ffn"]["fc2_kernel"])
-        mlp = mlp + blk["ffn"]["fc2_bias"].astype(mlp.dtype)
-        x = (mlp + h2) if cfg.reference_residual else (x + mlp)
-
-    if cfg.final_norm:
-        x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
-                       cfg.layernorm_eps)
-    x = x[:, 0]
-    if cfg.mlp_head:
-        h = act(x @ p["head_fc1"]["kernel"] + p["head_fc1"]["bias"])
-        return h @ p["head_fc2"]["kernel"] + p["head_fc2"]["bias"]
-    return x @ p["head"]["kernel"] + p["head"]["bias"]
+    x = _int8_encoder_blocks(cfg, p, _embed_vit(cfg, p, img), _mm_int8_static)
+    return _vit_head(cfg, p, x)
 
 
 def representative_batches(n: int = 100, batch: int = 1, shape=(3, 224, 224), seed=0):

@@ -319,3 +319,49 @@ def test_fused_t2t_apply_large_batch_parity():
     got = fused_t2t_apply(model, v, x, prep)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_t2t_int8_static_end_to_end():
+    """T2T full-integer static int8: calibrate_t2t scales, the XLA oracles,
+    and the fused int8 encoder kernels all agree with the float forward
+    within the int8 envelope (tokenizer stays float, like the ViT patch
+    embed; reference TFLITE_BUILTINS_INT8 methodology utils.py:263-277)."""
+    from edgevisiontransformer_tpu.models.t2t_vit import (
+        fused_t2t_apply_int8,
+        prepare_t2t_int8,
+        prepare_t2t_int8_static,
+    )
+    from edgevisiontransformer_tpu.ops.quant import (
+        calibrate_t2t,
+        int8_t2t_apply,
+        int8_t2t_apply_static,
+        quantize_vit_params_int8,
+        quantize_vit_params_int8_static,
+    )
+
+    cfg = t2t_vit_config(7, "reference", num_classes=6, depth=2)
+    model = T2TViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 224, 224))
+    v = model.init(jax.random.key(1), x[:1])
+    ref = np.asarray(model.apply(v, x))
+    denom = np.abs(ref).max() + 1e-9
+
+    scales = calibrate_t2t(model, v, batches=[np.asarray(x)])
+    assert scales.shape == (cfg.depth, 4)
+
+    qs = quantize_vit_params_int8_static(v, scales)
+    # sibling collections (sinusoid pos, performer consts) must survive
+    assert set(qs) == set(v)
+    ys = np.asarray(int8_t2t_apply_static(model, qs, x))
+    assert np.abs(ys - ref).max() / denom < 0.15
+    assert (ys.argmax(-1) == ref.argmax(-1)).all()
+
+    yd = np.asarray(int8_t2t_apply(model, quantize_vit_params_int8(v), x))
+    assert np.abs(yd - ref).max() / denom < 0.15
+
+    # fused int8 encoder kernels vs their XLA oracles (interpret mode off-TPU)
+    ks = np.asarray(fused_t2t_apply_int8(
+        model, v, x, prepare_t2t_int8_static(model, v, act_scales=scales)))
+    assert np.abs(ks - ys).max() / denom < 0.1
+    kd = np.asarray(fused_t2t_apply_int8(model, v, x, prepare_t2t_int8(model, v)))
+    assert np.abs(kd - yd).max() / denom < 0.1

@@ -157,24 +157,39 @@ def t2t_cases(fh):
     from edgevisiontransformer_tpu.models.t2t_vit import (
         T2TViT,
         fused_t2t_apply,
+        fused_t2t_apply_int8,
         prepare_t2t_fused,
+        prepare_t2t_int8_static,
         t2t_vit_config,
     )
+
+    import numpy as np
 
     for var in (7, 10, 12, 14):
         cfg = t2t_vit_config(var, dtype=DT)
         m = T2TViT(cfg)
+        v = m.init(jax.random.key(0), jnp.ones((1, 3, 224, 224), DT))
+        prep = prepare_t2t_fused(m, v)
+        sq = None
+        if var in (7, 14):
+            # static int8 encoder (calibrated scales; tokenizer float)
+            sq = prepare_t2t_int8_static(m, v, calib_batches=[
+                np.random.RandomState(i).randn(1, 3, 224, 224)
+                .astype("float32") for i in range(8)])
         batches = (1, 32) if var in (7, 14) else (1,)
         for b in batches:
             x = jnp.ones((b, 3, 224, 224), DT)
-            v = m.init(jax.random.key(0), x[:1])
             it = 100 if b == 1 else 20
             bench(fh, f"t2t_vit_{var}", b, lambda vv, xx: m.apply(vv, xx),
                   (v, x), 1, "xla", iters=it)
-            prep = prepare_t2t_fused(m, v)
             bench(fh, f"t2t_vit_{var}_fused", b,
                   lambda vv, pp, xx: fused_t2t_apply(m, vv, xx, pp),
                   (v, prep, x), 2, "fused", iters=it)
+            if sq is not None:
+                bench(fh, f"t2t_vit_{var}_int8_static", b,
+                      lambda vv, qq, pp, xx: fused_t2t_apply_int8(
+                          m, vv, xx, qq, prepared=pp),
+                      (v, sq, prep, x), 3, "int8", iters=it)
 
 
 def cnn_cases(fh):
@@ -229,7 +244,7 @@ def quant_accuracy_cases(fh):
     import io
 
     out = {}
-    for model in ("deit_tiny", "deit_base"):
+    for model in ("deit_tiny", "deit_base", "t2t_vit_7"):
         buf = io.StringIO()
         try:
             with contextlib.redirect_stdout(buf):
