@@ -251,6 +251,21 @@ def get_deit_base(style: str = "standard", **kw) -> ViT:
     return ViT(deit_config("base", style, **kw))
 
 
+def encoder_segments(cfg) -> list:
+    """Segment consecutive layers with identical (heads, mlp) shapes —
+    each run becomes one pallas_call (the reference's ViT_Pruned layerwise
+    encodings, vit.py:58-97).  Returns [(start, depth, heads, mlp_dim)]."""
+    shapes = [(cfg.layer_heads(i), cfg.layer_mlp_dim(i)) for i in range(cfg.depth)]
+    segments = []
+    for i, sh in enumerate(shapes):
+        if segments and segments[-1][2:] == sh:
+            start, d, h_, m_ = segments[-1]
+            segments[-1] = (start, d + 1, h_, m_)
+        else:
+            segments.append((i, 1, sh[0], sh[1]))
+    return segments
+
+
 def fused_vit_apply(model: ViT, variables, img: jax.Array,
                     batch_block: int | None = None,
                     n_pad_multiple: int = 8,
@@ -305,15 +320,7 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
     cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
     x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
 
-    # segment consecutive layers with identical (heads, mlp) shapes
-    shapes = [(cfg.layer_heads(i), cfg.layer_mlp_dim(i)) for i in range(cfg.depth)]
-    segments = []  # (start, depth, heads, mlp)
-    for i, sh in enumerate(shapes):
-        if segments and segments[-1][2:] == sh:
-            start, d, h_, m_ = segments[-1]
-            segments[-1] = (start, d + 1, h_, m_)
-        else:
-            segments.append((i, 1, sh[0], sh[1]))
+    segments = encoder_segments(cfg)
 
     base_kw = dict(
         head_dim=cfg.resolved_head_dim,
@@ -405,15 +412,27 @@ def fused_vit_apply(model: ViT, variables, img: jax.Array,
 def prepare_vit_int8(model: ViT, variables) -> dict:
     """Quantize the encoder stack to int8 once (per-layer, per-output-channel
     scales).  Pure function of the params — hoist out of the forward; the
-    result feeds fused_vit_apply_int8."""
+    result feeds fused_vit_apply_int8.
+
+    Uniform models return one stacked dict; layerwise-pruned models return
+    {"segments": [stacked, ...]} — one int8 stack per uniform run of layers
+    (the same segmentation as fused_vit_apply)."""
     from ..ops.pallas.fused_encoder import (
         quantize_stacked_int8,
         stack_vit_layer_params,
     )
 
     cfg = model.config
-    stacked = stack_vit_layer_params(variables["params"], cfg.depth, cfg.qkv_bias)
-    return quantize_stacked_int8(stacked)
+    p = variables["params"]
+    segs = encoder_segments(cfg)
+    if len(segs) == 1:
+        return quantize_stacked_int8(
+            stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias))
+    return {"segments": [
+        quantize_stacked_int8(
+            stack_vit_layer_params(p, d, cfg.qkv_bias, start=s))
+        for s, d, _, _ in segs
+    ]}
 
 
 def prepare_vit_int8_static(model: ViT, variables,
@@ -424,7 +443,10 @@ def prepare_vit_int8_static(model: ViT, variables,
     representative_data_gen analogue, /root/reference/utils.py:263-277) and
     fold them into the quantized stack.  The result feeds
     fused_vit_apply_int8, which then quantizes activations with FIXED
-    per-tensor scales — no per-row dynamic absmax at inference."""
+    per-tensor scales — no per-row dynamic absmax at inference.
+
+    Layerwise-pruned models return {"segments": [...]}, each segment's
+    stack folded with its slice of the per-layer calibrated scales."""
     from ..ops.pallas.fused_encoder import (
         quantize_stacked_int8_static,
         stack_vit_layer_params,
@@ -435,8 +457,17 @@ def prepare_vit_int8_static(model: ViT, variables,
     if act_scales is None:
         act_scales = calibrate_vit(model, variables, batches=calib_batches,
                                    percentile=percentile)
-    stacked = stack_vit_layer_params(variables["params"], cfg.depth, cfg.qkv_bias)
-    return quantize_stacked_int8_static(stacked, act_scales)
+    p = variables["params"]
+    segs = encoder_segments(cfg)
+    if len(segs) == 1:
+        return quantize_stacked_int8_static(
+            stack_vit_layer_params(p, cfg.depth, cfg.qkv_bias), act_scales)
+    return {"segments": [
+        quantize_stacked_int8_static(
+            stack_vit_layer_params(p, d, cfg.qkv_bias, start=s),
+            act_scales[s:s + d])
+        for s, d, _, _ in segs
+    ]}
 
 
 def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
@@ -456,6 +487,10 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
     ``variant``: "auto" picks double-buffered pipelined when two layers of
     int8 weights fit VMEM and the unroll budget allows (the bf16 gate of
     fused_vit_apply, with itemsize=1); "streamed"/"pipelined" force a kernel.
+
+    Layerwise-pruned models run one int8 kernel per uniform segment (the
+    fused_vit_apply segmentation; stacks from prepare_vit_int8[_static]'s
+    {"segments": [...]} form).
     """
     cfg = model.config
     if cfg.norm_mode != "layernorm" or cfg.act != "gelu":
@@ -463,14 +498,16 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
             "int8 fused encoder supports norm_mode='layernorm' + act='gelu' "
             f"only; got norm_mode={cfg.norm_mode!r}, act={cfg.act!r}"
         )
-    if cfg.heads_per_layer is not None and len(set(cfg.heads_per_layer)) != 1:
-        raise ValueError("int8 fused encoder requires uniform per-layer heads")
-    if cfg.mlp_dim_per_layer is not None and len(set(cfg.mlp_dim_per_layer)) != 1:
-        raise ValueError("int8 fused encoder requires uniform per-layer mlp dims")
-    heads = (cfg.heads_per_layer[0] if cfg.heads_per_layer is not None
-             else cfg.heads)
     if stacked_q is None:
         stacked_q = prepare_vit_int8(model, variables)
+    segs = encoder_segments(cfg)
+    seg_stacks = (stacked_q["segments"] if "segments" in stacked_q
+                  else [stacked_q])
+    if len(seg_stacks) != len(segs):
+        raise ValueError(
+            f"stacked_q has {len(seg_stacks)} segment(s) but the config "
+            f"segments into {len(segs)} — re-run prepare_vit_int8[_static] "
+            "for this model")
 
     from ..ops.pallas.common import default_batch_block, snap_batch_block
     from ..ops.pallas.fused_encoder import (
@@ -488,31 +525,25 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
     cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
     x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
 
-    inner = stacked_q["qkv_w"].shape[2]
-    mlp_d = stacked_q["fc1_w"].shape[2]
     bm_eff = (min(batch_block, img.shape[0]) if batch_block is not None
               else snap_batch_block(default_batch_block(cfg.dim),
                                     img.shape[0]))
-    iters = cfg.depth * heads * bm_eff
-    fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, heads,
-                                 cfg.resolved_head_dim, itemsize=1)
-    if variant == "pipelined" or (
-        variant == "auto" and fits and (iters <= 96 or bm_eff == 1)
-    ):
-        x = encoder_forward_int8_pipelined(
-            x, stacked_q,
-            heads=heads, head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
-            reference_residual=cfg.reference_residual,
-            approx_gelu=cfg.gelu_approx, batch_block=batch_block,
-            unroll=iters <= 96,
-        )
-    else:
-        x = encoder_forward_int8(
-            x, stacked_q,
-            heads=heads, head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
-            reference_residual=cfg.reference_residual,
-            approx_gelu=cfg.gelu_approx, batch_block=batch_block,
-        )
+    kw = dict(head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
+              reference_residual=cfg.reference_residual,
+              approx_gelu=cfg.gelu_approx, batch_block=batch_block)
+    for (start, seg_depth, heads, _), sq in zip(segs, seg_stacks):
+        inner = sq["qkv_w"].shape[2]
+        mlp_d = sq["fc1_w"].shape[2]
+        iters = seg_depth * heads * bm_eff
+        fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, heads,
+                                     cfg.resolved_head_dim, itemsize=1)
+        if variant == "pipelined" or (
+            variant == "auto" and fits and (iters <= 96 or bm_eff == 1)
+        ):
+            x = encoder_forward_int8_pipelined(
+                x, sq, heads=heads, unroll=iters <= 96, **kw)
+        else:
+            x = encoder_forward_int8(x, sq, heads=heads, **kw)
 
     if cfg.final_norm:
         x = layer_norm(

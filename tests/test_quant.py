@@ -156,3 +156,41 @@ def test_int8_vit_apply_static_close_to_float():
     dyn = np.asarray(int8_vit_apply(model, quantize_vit_params_int8(params), x))
     rel_dyn = np.abs(dyn - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 2.5 * rel_dyn + 1e-3, (rel, rel_dyn)
+
+
+def test_fused_int8_layerwise_pruned_segments():
+    """Layerwise-pruned models run one int8 kernel per uniform segment
+    (fused_vit_apply's segmentation) — the reference's prune -> quantize ->
+    benchmark pipeline needs quantized pruned models (ViT_Pruned encodings
+    vit.py:58-97 + tf2tflite quantization utils.py:242-294)."""
+    from edgevisiontransformer_tpu.models.vit import (
+        ViT,
+        encoder_segments,
+        fused_vit_apply_int8,
+        prepare_vit_int8_static,
+        pruned_vit_config,
+    )
+    from edgevisiontransformer_tpu.ops.quant import (
+        calibrate_vit,
+        int8_vit_apply_static,
+        quantize_vit_params_int8_static,
+    )
+
+    enc = "layerwise_" + "_".join(["h2-d0.5", "h1-d0.3"] * 6)
+    cfg = pruned_vit_config("tiny", enc, dtype=jnp.float32)
+    model = ViT(cfg)
+    assert len(encoder_segments(cfg)) == 12
+    x = jax.random.normal(jax.random.key(0), (1, 3, 224, 224))
+    v = model.init(jax.random.key(1), x)
+    ref = np.asarray(model.apply(v, x))
+    denom = np.abs(ref).max() + 1e-9
+
+    scales = calibrate_vit(model, v, batches=[np.asarray(x)])
+    qs = quantize_vit_params_int8_static(v, scales)
+    oracle = np.asarray(int8_vit_apply_static(model, qs, x))
+
+    sq = prepare_vit_int8_static(model, v, act_scales=scales)
+    assert len(sq["segments"]) == 12
+    got = np.asarray(fused_vit_apply_int8(model, v, x, sq))
+    assert np.abs(got - oracle).max() / denom < 0.1
+    assert np.abs(got - ref).max() / denom < 0.15

@@ -52,6 +52,8 @@ def bench(fh, name, batch, fn, args, chain_arg, impl=None, iters=100, repeats=3)
 
 
 def vit_cases(fh):
+    import numpy as np
+
     from edgevisiontransformer_tpu.models.vit import (
         ViT,
         fused_vit_apply,
@@ -109,6 +111,18 @@ def vit_cases(fh):
         bench(fh, f"pruned_deit_tiny@{enc}_fused", 1,
               lambda vv, xx: fused_vit_apply(m, vv, xx), (v, x), 1, "fused",
               iters=150)
+        # static int8 over the pruned segments (prune -> quantize pipeline)
+        from edgevisiontransformer_tpu.models.vit import (
+            fused_vit_apply_int8,
+            prepare_vit_int8_static,
+        )
+
+        sq = prepare_vit_int8_static(m, v, calib_batches=[
+            np.random.RandomState(i).randn(1, 3, 224, 224).astype("float32")
+            for i in range(8)])
+        bench(fh, f"pruned_deit_tiny@{enc}_int8_static", 1,
+              lambda vv, qq, xx: fused_vit_apply_int8(m, vv, xx, qq),
+              (v, sq, x), 2, "int8", iters=150)
         # b128 throughput: the MACs-proportionality regime (BASELINE.md
         # rebuild target 4) — b1 is bounded by fixed per-layer VPU work
         # (LN/softmax) that pruning cannot shrink
