@@ -700,12 +700,18 @@ def cmd_eval(argv):
         # bundle the quantized stack into the params pytree so evaluate()'s
         # jit receives it as an argument, not a closed-over HLO constant
         if isinstance(model, T2TViT):
+            from .models.t2t_vit import prepare_t2t_fused
+
             sq = (prepare_t2t_int8_static(model, params)
                   if args.impl == "int8_static_fused"
                   else prepare_t2t_int8(model, params))
-            params = {"v": params, "sq": sq}
+            # prepared stage-1 constants must be built OUTSIDE evaluate()'s
+            # jit (build_stage1_weights round-trips through numpy) and ride
+            # in the params pytree like the fused branch does
+            params = {"v": params, "sq": sq,
+                      "prep": prepare_t2t_fused(model, params)}
             apply_fn = lambda p_, x_: fused_t2t_apply_int8(
-                model, p_["v"], x_, p_["sq"])
+                model, p_["v"], x_, p_["sq"], prepared=p_["prep"])
         else:
             sq = (prepare_vit_int8_static(model, params)
                   if args.impl == "int8_static_fused"

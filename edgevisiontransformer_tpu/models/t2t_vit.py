@@ -494,47 +494,18 @@ def fused_t2t_apply_int8(model: "T2TViT", variables, img: jax.Array,
     — same dispatch gates as fused_vit_apply_int8).  The tokens-to-token
     stem, final norm and head stay float, like the reference's dynamic mode
     leaves non-matmul ops float (utils.py:260-262)."""
+    from .vit import _int8_encoder_dispatch
+
     cfg = model.config
     dt = cfg.dtype
     p = variables["params"]
     if stacked_q is None:
         stacked_q = prepare_t2t_int8(model, variables)
 
-    from ..ops.pallas.common import default_batch_block, snap_batch_block
-    from ..ops.pallas.fused_encoder import (
-        encoder_forward_int8,
-        encoder_forward_int8_pipelined,
-        pipelined_weights_fit,
-    )
-
     x = t2t_tokenize(model, variables, img, prepared=prepared)
-
-    inner = stacked_q["qkv_w"].shape[2]
-    mlp_d = stacked_q["fc1_w"].shape[2]
-    bm_eff = (min(batch_block, x.shape[0]) if batch_block is not None
-              else snap_batch_block(default_batch_block(cfg.dim), x.shape[0]))
-    iters = cfg.depth * cfg.heads * bm_eff
-    fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, cfg.heads,
-                                 cfg.resolved_head_dim, itemsize=1)
-    if variant == "pipelined" or (
-        variant == "auto" and fits and (iters <= 96 or bm_eff == 1)
-    ):
-        x = encoder_forward_int8_pipelined(
-            x, stacked_q,
-            heads=cfg.heads, head_dim=cfg.resolved_head_dim,
-            eps=cfg.layernorm_eps,
-            reference_residual=cfg.reference_residual,
-            approx_gelu=cfg.gelu_approx, batch_block=batch_block,
-            unroll=iters <= 96,
-        )
-    else:
-        x = encoder_forward_int8(
-            x, stacked_q,
-            heads=cfg.heads, head_dim=cfg.resolved_head_dim,
-            eps=cfg.layernorm_eps,
-            reference_residual=cfg.reference_residual,
-            approx_gelu=cfg.gelu_approx, batch_block=batch_block,
-        )
+    x = _int8_encoder_dispatch(x, stacked_q, heads=cfg.heads, depth=cfg.depth,
+                               cfg=cfg, batch_block=batch_block,
+                               variant=variant)
 
     x = layer_norm(x, p["final_norm"]["scale"], p["final_norm"]["bias"],
                    cfg.layernorm_eps)

@@ -470,6 +470,38 @@ def prepare_vit_int8_static(model: ViT, variables,
     ]}
 
 
+def _int8_encoder_dispatch(x: jax.Array, sq: dict, *, heads: int, depth: int,
+                           cfg, batch_block: int | None,
+                           variant: str) -> jax.Array:
+    """Shared int8 kernel-variant gate (ViT segments and the T2T encoder):
+    double-buffered pipelined when two layers of int8 weights fit VMEM and
+    the unroll budget allows (the bf16 gate with itemsize=1), else the
+    grid-streamed kernel."""
+    from ..ops.pallas.common import default_batch_block, snap_batch_block
+    from ..ops.pallas.fused_encoder import (
+        encoder_forward_int8,
+        encoder_forward_int8_pipelined,
+        pipelined_weights_fit,
+    )
+
+    inner = sq["qkv_w"].shape[2]
+    mlp_d = sq["fc1_w"].shape[2]
+    bm_eff = (min(batch_block, x.shape[0]) if batch_block is not None
+              else snap_batch_block(default_batch_block(cfg.dim), x.shape[0]))
+    iters = depth * heads * bm_eff
+    fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, heads,
+                                 cfg.resolved_head_dim, itemsize=1)
+    kw = dict(head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
+              reference_residual=cfg.reference_residual,
+              approx_gelu=cfg.gelu_approx, batch_block=batch_block)
+    if variant == "pipelined" or (
+        variant == "auto" and fits and (iters <= 96 or bm_eff == 1)
+    ):
+        return encoder_forward_int8_pipelined(
+            x, sq, heads=heads, unroll=iters <= 96, **kw)
+    return encoder_forward_int8(x, sq, heads=heads, **kw)
+
+
 def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
                          stacked_q: dict | None = None,
                          batch_block: int | None = None,
@@ -509,13 +541,6 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
             f"segments into {len(segs)} — re-run prepare_vit_int8[_static] "
             "for this model")
 
-    from ..ops.pallas.common import default_batch_block, snap_batch_block
-    from ..ops.pallas.fused_encoder import (
-        encoder_forward_int8,
-        encoder_forward_int8_pipelined,
-        pipelined_weights_fit,
-    )
-
     p = variables["params"]
     img = img.astype(cfg.dtype)
     x = patch_embed(
@@ -525,25 +550,10 @@ def fused_vit_apply_int8(model: ViT, variables, img: jax.Array,
     cls = jnp.broadcast_to(p["cls_token"].astype(cfg.dtype), (x.shape[0], 1, cfg.dim))
     x = jnp.concatenate([cls, x], axis=1) + p["pos_embedding"].astype(cfg.dtype)
 
-    bm_eff = (min(batch_block, img.shape[0]) if batch_block is not None
-              else snap_batch_block(default_batch_block(cfg.dim),
-                                    img.shape[0]))
-    kw = dict(head_dim=cfg.resolved_head_dim, eps=cfg.layernorm_eps,
-              reference_residual=cfg.reference_residual,
-              approx_gelu=cfg.gelu_approx, batch_block=batch_block)
     for (start, seg_depth, heads, _), sq in zip(segs, seg_stacks):
-        inner = sq["qkv_w"].shape[2]
-        mlp_d = sq["fc1_w"].shape[2]
-        iters = seg_depth * heads * bm_eff
-        fits = pipelined_weights_fit(cfg.dim, inner, mlp_d, heads,
-                                     cfg.resolved_head_dim, itemsize=1)
-        if variant == "pipelined" or (
-            variant == "auto" and fits and (iters <= 96 or bm_eff == 1)
-        ):
-            x = encoder_forward_int8_pipelined(
-                x, sq, heads=heads, unroll=iters <= 96, **kw)
-        else:
-            x = encoder_forward_int8(x, sq, heads=heads, **kw)
+        x = _int8_encoder_dispatch(x, sq, heads=heads, depth=seg_depth,
+                                   cfg=cfg, batch_block=batch_block,
+                                   variant=variant)
 
     if cfg.final_norm:
         x = layer_norm(

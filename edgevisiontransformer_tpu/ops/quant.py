@@ -426,7 +426,9 @@ def calibrate_t2t(model, variables, batches=None, n: int = 100,
     from ..models.t2t_vit import t2t_tokenize
 
     def embed(v, im):
-        return t2t_tokenize(model, v, im, fast=False)
+        # same bare-or-wrapped contract as calibrate_vit
+        return t2t_tokenize(model, v if "params" in v else {"params": v},
+                            im, fast=False)
 
     return _calibrate_encoder(embed, model, variables, batches=batches, n=n,
                               percentile=percentile)

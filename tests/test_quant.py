@@ -194,3 +194,12 @@ def test_fused_int8_layerwise_pruned_segments():
     got = np.asarray(fused_vit_apply_int8(model, v, x, sq))
     assert np.abs(got - oracle).max() / denom < 0.1
     assert np.abs(got - ref).max() / denom < 0.15
+
+    # dynamic multi-segment form (per-row act quant, no act_inv in stacks)
+    from edgevisiontransformer_tpu.models.vit import prepare_vit_int8
+
+    sqd = prepare_vit_int8(model, v)
+    assert len(sqd["segments"]) == 12
+    assert all("act_inv" not in s for s in sqd["segments"])
+    gotd = np.asarray(fused_vit_apply_int8(model, v, x, sqd))
+    assert np.abs(gotd - ref).max() / denom < 0.15

@@ -112,11 +112,6 @@ def vit_cases(fh):
               lambda vv, xx: fused_vit_apply(m, vv, xx), (v, x), 1, "fused",
               iters=150)
         # static int8 over the pruned segments (prune -> quantize pipeline)
-        from edgevisiontransformer_tpu.models.vit import (
-            fused_vit_apply_int8,
-            prepare_vit_int8_static,
-        )
-
         sq = prepare_vit_int8_static(m, v, calib_batches=[
             np.random.RandomState(i).randn(1, 3, 224, 224).astype("float32")
             for i in range(8)])
