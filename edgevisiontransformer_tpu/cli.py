@@ -482,15 +482,14 @@ def cmd_quant_accuracy(argv):
     )
 
     model, in_shape = _build_model(args.model, args.style, dtype="float32")
+    from .models.swin import SwinTransformer as _Swin
     from .models.t2t_vit import T2TViT as _T2T
     from .models.vit import ViT as _ViT
 
-    if not isinstance(model, (_ViT, _T2T)):
+    if not isinstance(model, (_ViT, _T2T, _Swin)):
         raise SystemExit(
-            f"{args.model}: quant_accuracy supports the ViT/DeiT and T2T "
-            "families (the int8 oracles walk those forwards); Swin int8 "
-            "parity is tested via its whole-stage kernels (convert/eval)")
-    is_t2t = isinstance(model, _T2T)
+            f"{args.model}: quant_accuracy supports the ViT/DeiT, T2T and "
+            "Swin families")
     x0 = jnp.ones((1,) + in_shape)
     if args.from_hf:
         from .utils.hf_import import import_hf_vit
@@ -502,29 +501,70 @@ def cmd_quant_accuracy(argv):
     from .cache import enable_compilation_cache
 
     enable_compilation_cache()
-    calibrate = calibrate_t2t if is_t2t else calibrate_vit
-    scales = calibrate(model, params, n=args.calib_batches)
-    qdyn = quantize_vit_params_int8(params)
-    qstat = quantize_vit_params_int8_static(params, scales)
-    pbf16 = cast_params(params, jnp.bfloat16)
-    apply_dyn = int8_t2t_apply if is_t2t else int8_vit_apply
-    apply_stat = int8_t2t_apply_static if is_t2t else int8_vit_apply_static
-
-    # params/qparams are jit ARGUMENTS (partial over the first slot), not
-    # closures: closing over the weight pytree bakes it into the HLO and
-    # inflates the serialized compile past the relay request limit (the
-    # documented HTTP-413 hazard; cmd_eval does the same).
     import functools
 
-    modes = {
-        "bf16": functools.partial(
-            jax.jit(lambda p_, x: model.apply(p_, x.astype(jnp.bfloat16))),
-            pbf16),
-        "dynamic_int8": functools.partial(
-            jax.jit(lambda q_, x: apply_dyn(model, q_, x)), qdyn),
-        "static_int8": functools.partial(
-            jax.jit(lambda q_, x: apply_stat(model, q_, x)), qstat),
-    }
+    if isinstance(model, _Swin):
+        # Swin int8 IS the whole-stage kernel path (no XLA oracle exists),
+        # so the table compares the deployment kernels directly: fp32 XLA
+        # reference vs bf16 apply vs dynamic/static int8 whole-stage
+        # kernels.  Only qualifying stages run int8 (mixed precision —
+        # stages printed); params/preps ride as jit ARGUMENTS.
+        from .models.swin import (
+            fused_swin_apply,
+            prepare_swin_fused,
+            prepare_swin_int8,
+            prepare_swin_int8_static,
+        )
+
+        model_bf, _ = _build_model(args.model, args.style, dtype="bfloat16")
+        pbf16 = cast_params(params, jnp.bfloat16)
+        prep = prepare_swin_fused(model_bf, pbf16)
+        q = prepare_swin_int8(model_bf, pbf16)
+        qs = prepare_swin_int8_static(model_bf, pbf16, n=args.calib_batches)
+        if not q:
+            raise SystemExit(f"{args.model}: no stage qualifies for the "
+                             "int8 whole-stage kernel")
+        n_stages = len(model.config.depths)
+        print(f"int8 stages: {sorted(q)} of {list(range(n_stages))} "
+              f"(others run bf16 fused — mixed-precision rows)")
+
+        def _swin_mode(qq):
+            return functools.partial(
+                jax.jit(lambda b_, x: fused_swin_apply(
+                    model_bf, b_["v"], x.astype(jnp.bfloat16),
+                    prepared=b_["prep"], int8_prepared=b_["q"])),
+                {"v": pbf16, "prep": prep, "q": qq})
+
+        modes = {
+            "bf16": functools.partial(
+                jax.jit(lambda p_, x: model_bf.apply(
+                    p_, x.astype(jnp.bfloat16))), pbf16),
+            "dynamic_int8": _swin_mode(q),
+            "static_int8": _swin_mode(qs),
+        }
+    else:
+        is_t2t = isinstance(model, _T2T)
+        calibrate = calibrate_t2t if is_t2t else calibrate_vit
+        scales = calibrate(model, params, n=args.calib_batches)
+        qdyn = quantize_vit_params_int8(params)
+        qstat = quantize_vit_params_int8_static(params, scales)
+        pbf16 = cast_params(params, jnp.bfloat16)
+        apply_dyn = int8_t2t_apply if is_t2t else int8_vit_apply
+        apply_stat = int8_t2t_apply_static if is_t2t else int8_vit_apply_static
+
+        # params/qparams are jit ARGUMENTS (partial over the first slot), not
+        # closures: closing over the weight pytree bakes it into the HLO and
+        # inflates the serialized compile past the relay request limit (the
+        # documented HTTP-413 hazard; cmd_eval does the same).
+        modes = {
+            "bf16": functools.partial(
+                jax.jit(lambda p_, x: model.apply(p_, x.astype(jnp.bfloat16))),
+                pbf16),
+            "dynamic_int8": functools.partial(
+                jax.jit(lambda q_, x: apply_dyn(model, q_, x)), qdyn),
+            "static_int8": functools.partial(
+                jax.jit(lambda q_, x: apply_stat(model, q_, x)), qstat),
+        }
     ref_fn = functools.partial(jax.jit(lambda p_, x: model.apply(p_, x)),
                                params)
 

@@ -252,13 +252,21 @@ def quant_accuracy_cases(fh):
     import contextlib
     import io
 
+    cases = [
+        ("deit_tiny", ["--batches", "4", "--calib-batches", "32"]),
+        ("deit_base", ["--batches", "4", "--calib-batches", "32"]),
+        ("t2t_vit_7", ["--batches", "4", "--calib-batches", "32"]),
+        # batch 1 rides the already-cached b1 whole-stage compiles (a b8
+        # whole-model Swin compile would be its own ~13 min cache entry)
+        ("swin_tiny", ["--batch", "1", "--batches", "8",
+                       "--calib-batches", "16"]),
+    ]
     out = {}
-    for model in ("deit_tiny", "deit_base", "t2t_vit_7"):
+    for model, extra in cases:
         buf = io.StringIO()
         try:
             with contextlib.redirect_stdout(buf):
-                cmd_quant_accuracy(["--model", model, "--batches", "4",
-                                    "--calib-batches", "32"])
+                cmd_quant_accuracy(["--model", model] + extra)
             out[model] = json.loads(buf.getvalue().strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001
             print(buf.getvalue())
