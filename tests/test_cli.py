@@ -294,3 +294,34 @@ def test_registry_covers_cnn_zoo():
     assert shape == (3, 224, 224)
     v = jax.eval_shape(lambda: model.init(jax.random.key(0), jnp.ones((1,) + shape)))
     assert "params" in v
+
+
+def test_benchmark_int8_dispatch_arity_t2t_and_pruned(monkeypatch):
+    """cmd_benchmark --kernel-mode int8 for T2T and layerwise-pruned ViT:
+    fn/extra/chain_arg arities must line up and the kernel paths must trace
+    (eval_shape walks the pallas_calls abstractly; the timer is stubbed so
+    no interpret-mode execution happens)."""
+    import jax
+
+    import edgevisiontransformer_tpu.bench.looptimer as lt
+
+    seen = []
+
+    def stub(fn, args, **kw):
+        out = jax.eval_shape(fn, *args)
+        seen.append((len(args), out.shape))
+        return {"p50_ms": 1.0, "avg_ms": 1.0, "std_ms": 0.0, "min_ms": 1.0,
+                "iters": kw.get("iters", 1), "repeats": kw.get("repeats", 1)}
+
+    monkeypatch.setattr(lt, "measure_op_time", stub)
+
+    rc = main(["benchmark", "--model", "t2t_vit_7", "--kernel-mode", "int8",
+               "--iters", "2", "--repeats", "1"])
+    assert rc == 0
+    enc = "layerwise_" + "_".join(["h2-d0.5", "h1-d0.3"] * 6)
+    rc = main(["benchmark", "--model", f"pruned_deit_tiny@{enc}",
+               "--kernel-mode", "int8", "--iters", "2", "--repeats", "1"])
+    assert rc == 0
+    assert [s for _, s in seen] == [(1, 1000), (1, 1000)]
+    # T2T threads (v, sq, prep, x); pruned ViT threads (v, sq, x)
+    assert [n for n, _ in seen] == [4, 3]
