@@ -73,6 +73,24 @@ function full_sweep() {
         --output latency_macs.png || true
 }
 
+function r3_pending() {
+    # Measurements queued behind the 2026-08-17/18 TPU-tunnel outage
+    # (CLAUDE.md perf state): the late-round-3 static-int8 rows for
+    # T2T / Swin / pruned ViTs, the t2t+swin quant-accuracy table rows,
+    # and the latency-predictor re-collect on the precise measure path
+    # (the shipped csv predates the 120 ms-delta fix and is noise:
+    # corr(MACs, ms) = 0.22).  Safe to re-run: the sweep jsonl keeps the
+    # fastest p50 per row and quant_accuracy/latency sections override.
+    SWEEP=bench_sweep_r3.jsonl
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=t2t
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=swin
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=vit
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=quant_accuracy
+    latency_predictor
+    python tools/make_benchmarks_md.py $SWEEP BENCHMARKS.md
+    bench_gate
+}
+
 # --- profiling (reference --enable_op_profiling + analyse.py) ---------------
 
 function profile_deit() {
