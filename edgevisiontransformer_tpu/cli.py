@@ -367,6 +367,11 @@ def cmd_convert(argv):
                         "(reference utils.py:265-269 uses 100)")
     p.add_argument("--calib-percentile", type=float, default=None,
                    help="int8: abs-percentile calibration instead of absmax")
+    p.add_argument("--calib-method", default="absmax",
+                   choices=["absmax", "mse"],
+                   help="int8: activation-clip calibration — absmax "
+                        "(reference min/max semantics) or mse (offline "
+                        "MSE-optimal clip search; tighter logit drift)")
     args = p.parse_args(argv)
 
     from .ops.quant import cast_params, quantize_vit_params_int8
@@ -396,9 +401,10 @@ def cmd_convert(argv):
         if args.quantization == "dynamic":
             out = prepare_swin_int8(model, params)
         else:
-            if args.calib_percentile is not None:
+            if args.calib_percentile is not None or args.calib_method != "absmax":
                 raise SystemExit("swin calibration records absmax only "
-                                 "(--calib-percentile is ViT-only)")
+                                 "(--calib-percentile/--calib-method are "
+                                 "ViT/T2T-only)")
             from .cache import enable_compilation_cache
 
             enable_compilation_cache()
@@ -442,12 +448,15 @@ def cmd_convert(argv):
 
         calibrate = calibrate_t2t if isinstance(model, _T2T) else calibrate_vit
         scales = calibrate(model, params, n=args.calib_batches,
-                           percentile=args.calib_percentile)
+                           percentile=args.calib_percentile,
+                           method=args.calib_method)
         out = quantize_vit_params_int8_static(params, scales)
         meta["act_scales"] = np.asarray(scales).tolist()
         meta["calib_batches"] = args.calib_batches
+        meta["calib_method"] = args.calib_method
         print(f"calibrated {scales.shape[0]} layers x {scales.shape[1]} "
-              f"activation scales on {args.calib_batches} batches")
+              f"activation scales on {args.calib_batches} batches "
+              f"({args.calib_method})")
     save_checkpoint(args.output, out, meta=meta)
     print(f"saved {args.quantization} checkpoint -> {args.output}")
 
@@ -464,6 +473,9 @@ def cmd_quant_accuracy(argv):
     p.add_argument("--batches", type=int, default=8)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--calib-batches", type=int, default=32)
+    p.add_argument("--with-mse", action="store_true",
+                   help="add a static_int8_mse row (MSE-optimal clip "
+                        "calibration; ViT/T2T families)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -504,6 +516,9 @@ def cmd_quant_accuracy(argv):
     import functools
 
     if isinstance(model, _Swin):
+        if args.with_mse:
+            raise SystemExit("--with-mse is ViT/T2T-only (swin calibration "
+                             "records absmax via sown scalars)")
         # Swin int8 IS the whole-stage kernel path (no XLA oracle exists),
         # so the table compares the deployment kernels directly: fp32 XLA
         # reference vs bf16 apply vs dynamic/static int8 whole-stage
@@ -565,6 +580,12 @@ def cmd_quant_accuracy(argv):
             "static_int8": functools.partial(
                 jax.jit(lambda q_, x: apply_stat(model, q_, x)), qstat),
         }
+        if args.with_mse:
+            scales_mse = calibrate(model, params, n=args.calib_batches,
+                                   method="mse")
+            qmse = quantize_vit_params_int8_static(params, scales_mse)
+            modes["static_int8_mse"] = functools.partial(
+                jax.jit(lambda q_, x: apply_stat(model, q_, x)), qmse)
     ref_fn = functools.partial(jax.jit(lambda p_, x: model.apply(p_, x)),
                                params)
 
@@ -649,6 +670,10 @@ def cmd_eval(argv):
     p.add_argument("--impl", default="xla",
                    choices=["xla", "fused", "int8", "int8_fused",
                             "int8_static", "int8_static_fused"])
+    p.add_argument("--calib-method", default="absmax",
+                   choices=["absmax", "mse"],
+                   help="int8_static impls: activation-clip calibration "
+                        "(ViT/T2T families; swin records absmax)")
     args = p.parse_args(argv)
 
     from .utils.checkpoint import load_checkpoint
@@ -674,6 +699,9 @@ def cmd_eval(argv):
         if args.impl in ("int8", "int8_fused"):
             q = prepare_swin_int8(model, params)
         elif args.impl in ("int8_static", "int8_static_fused"):
+            if args.calib_method != "absmax":
+                raise SystemExit("swin calibration records absmax only "
+                                 "(--calib-method is ViT/T2T-only)")
             q = prepare_swin_int8_static(model, params)
         else:
             q = None
@@ -718,11 +746,13 @@ def cmd_eval(argv):
 
         if isinstance(model, T2TViT):
             params = quantize_vit_params_int8_static(
-                params, calibrate_t2t(model, params))
+                params, calibrate_t2t(model, params,
+                                      method=args.calib_method))
             apply_fn = lambda p_, x_: int8_t2t_apply_static(model, p_, x_)
         else:
             params = quantize_vit_params_int8_static(
-                params, calibrate_vit(model, params))
+                params, calibrate_vit(model, params,
+                                      method=args.calib_method))
             apply_fn = lambda p_, x_: int8_vit_apply_static(model, p_, x_)
     elif args.impl in ("int8_fused", "int8_static_fused"):
         from .models.t2t_vit import (
@@ -742,7 +772,8 @@ def cmd_eval(argv):
         if isinstance(model, T2TViT):
             from .models.t2t_vit import prepare_t2t_fused
 
-            sq = (prepare_t2t_int8_static(model, params)
+            sq = (prepare_t2t_int8_static(model, params,
+                                          method=args.calib_method)
                   if args.impl == "int8_static_fused"
                   else prepare_t2t_int8(model, params))
             # prepared stage-1 constants must be built OUTSIDE evaluate()'s
@@ -753,7 +784,8 @@ def cmd_eval(argv):
             apply_fn = lambda p_, x_: fused_t2t_apply_int8(
                 model, p_["v"], x_, p_["sq"], prepared=p_["prep"])
         else:
-            sq = (prepare_vit_int8_static(model, params)
+            sq = (prepare_vit_int8_static(model, params,
+                                          method=args.calib_method)
                   if args.impl == "int8_static_fused"
                   else prepare_vit_int8(model, params))
             params = {"v": params, "sq": sq}

@@ -464,7 +464,8 @@ def prepare_t2t_int8(model: "T2TViT", variables) -> dict:
 
 def prepare_t2t_int8_static(model: "T2TViT", variables,
                             act_scales=None, calib_batches=None,
-                            percentile: float | None = None) -> dict:
+                            percentile: float | None = None,
+                            method: str = "absmax") -> dict:
     """Static (full-integer-style) int8 prep for T2T: calibrate encoder
     activation scales on representative data (ops/quant.calibrate_t2t) and
     fold them into the quantized stack — mirrors prepare_vit_int8_static
@@ -478,7 +479,7 @@ def prepare_t2t_int8_static(model: "T2TViT", variables,
     cfg = model.config
     if act_scales is None:
         act_scales = calibrate_t2t(model, variables, batches=calib_batches,
-                                   percentile=percentile)
+                                   percentile=percentile, method=method)
     stacked = stack_vit_layer_params(variables["params"], cfg.depth,
                                      cfg.qkv_bias)
     return quantize_stacked_int8_static(stacked, act_scales)

@@ -437,7 +437,8 @@ def prepare_vit_int8(model: ViT, variables) -> dict:
 
 def prepare_vit_int8_static(model: ViT, variables,
                             act_scales=None, calib_batches=None,
-                            percentile: float | None = None) -> dict:
+                            percentile: float | None = None,
+                            method: str = "absmax") -> dict:
     """Static (full-integer-style) int8 prep: calibrate activation scales on
     representative data (ops/quant.calibrate_vit — the converter's
     representative_data_gen analogue, /root/reference/utils.py:263-277) and
@@ -456,7 +457,7 @@ def prepare_vit_int8_static(model: ViT, variables,
     cfg = model.config
     if act_scales is None:
         act_scales = calibrate_vit(model, variables, batches=calib_batches,
-                                   percentile=percentile)
+                                   percentile=percentile, method=method)
     p = variables["params"]
     segs = encoder_segments(cfg)
     if len(segs) == 1:

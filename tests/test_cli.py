@@ -114,7 +114,7 @@ def test_plot_cmd(tmp_path, capsys):
 def test_quant_accuracy_cmd(capsys):
     assert main([
         "quant_accuracy", "--model", "deit_tiny", "--batches", "1",
-        "--batch", "2", "--calib-batches", "2",
+        "--batch", "2", "--calib-batches", "2", "--with-mse",
     ]) == 0
     out = capsys.readouterr().out
     assert "static_int8" in out and "dynamic_int8" in out
@@ -122,6 +122,7 @@ def test_quant_accuracy_cmd(capsys):
     # quantized logits stay in a sane envelope on random init
     assert table["static_int8"]["max_rel"] < 0.5
     assert table["dynamic_int8"]["max_rel"] < 0.5
+    assert table["static_int8_mse"]["max_rel"] < 0.5
 
 
 def test_eval_cmd_impl_consistency(tmp_path, capsys):

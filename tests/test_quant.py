@@ -128,6 +128,40 @@ def test_calibrate_vit_shapes_and_consistency():
         float(jnp.max(jnp.abs(acts["block_0/qkv_in"]))) / 127, rel=1e-5)
 
 
+def test_calibrate_vit_mse_clip_search():
+    """method="mse" picks per-tensor clips from ratio*absmax (ratio in
+    MSE_CLIP_RATIOS) minimizing calibration-set quantization MSE — never
+    larger than absmax, never below the smallest candidate, and at least as
+    good on the calibration set by construction (argmin includes ratio 1.0)."""
+    from edgevisiontransformer_tpu.ops.quant import (
+        MSE_CLIP_RATIOS,
+        calibrate_vit,
+        int8_vit_apply_static,
+        quantize_vit_params_int8_static,
+    )
+
+    model, params, x = _tiny_model()
+    calib = [np.asarray(jax.random.normal(jax.random.key(i), x.shape))
+             for i in range(2, 6)]
+    base = calibrate_vit(model, params, batches=calib)
+    mse = calibrate_vit(model, params, batches=calib, method="mse")
+    assert mse.shape == base.shape
+    ratio = mse / base
+    assert np.all(ratio <= 1.0 + 1e-6)
+    assert np.all(ratio >= min(MSE_CLIP_RATIOS) - 1e-6)
+    # each chosen ratio is one of the candidates
+    cand = np.asarray(MSE_CLIP_RATIOS)
+    assert np.all(np.min(np.abs(ratio[..., None] - cand), -1) < 1e-5)
+    # end-to-end oracle still tracks the float model
+    qparams = quantize_vit_params_int8_static(params, mse)
+    ref = np.asarray(model.apply(params, x))
+    got = np.asarray(int8_vit_apply_static(model, qparams, x))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.15, rel
+    with pytest.raises(ValueError):
+        calibrate_vit(model, params, batches=calib, method="entropy")
+
+
 def test_int8_vit_apply_static_close_to_float():
     """Static (full-integer-style) int8: calibrated per-tensor activation
     scales; accuracy within the same envelope as dynamic when calibrated on

@@ -365,3 +365,12 @@ def test_t2t_int8_static_end_to_end():
     assert np.abs(ks - ys).max() / denom < 0.1
     kd = np.asarray(fused_t2t_apply_int8(model, v, x, prepare_t2t_int8(model, v)))
     assert np.abs(kd - yd).max() / denom < 0.1
+
+    # MSE clip-search calibration walks the same t2t embed (two passes) —
+    # scales stay in [0.6, 1.0] x absmax and the oracle still tracks float
+    mse = calibrate_t2t(model, v, batches=[np.asarray(x)], method="mse")
+    assert mse.shape == scales.shape
+    assert np.all(mse <= scales + 1e-6) and np.all(mse >= 0.6 * scales - 1e-6)
+    ym = np.asarray(int8_t2t_apply_static(
+        model, quantize_vit_params_int8_static(v, mse), x))
+    assert np.abs(ym - ref).max() / denom < 0.15

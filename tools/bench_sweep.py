@@ -253,9 +253,12 @@ def quant_accuracy_cases(fh):
     import io
 
     cases = [
-        ("deit_tiny", ["--batches", "4", "--calib-batches", "32"]),
-        ("deit_base", ["--batches", "4", "--calib-batches", "32"]),
-        ("t2t_vit_7", ["--batches", "4", "--calib-batches", "32"]),
+        ("deit_tiny", ["--batches", "4", "--calib-batches", "32",
+                       "--with-mse"]),
+        ("deit_base", ["--batches", "4", "--calib-batches", "32",
+                       "--with-mse"]),
+        ("t2t_vit_7", ["--batches", "4", "--calib-batches", "32",
+                       "--with-mse"]),
         # batch 1 rides the already-cached b1 whole-stage compiles (a b8
         # whole-model Swin compile would be its own ~13 min cache entry)
         ("swin_tiny", ["--batch", "1", "--batches", "8",
