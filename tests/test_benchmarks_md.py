@@ -1,0 +1,65 @@
+"""BENCHMARKS.md renderer (tools/make_benchmarks_md.py) off-TPU: the
+fastest-p50 dedup across same-code sessions, the ±std / n noise columns
+(verdict r2 weak #8), error-row supersession, and extras sections."""
+
+import importlib.util
+import json
+import pathlib
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load_renderer():
+    spec = importlib.util.spec_from_file_location(
+        "make_benchmarks_md", ROOT / "tools" / "make_benchmarks_md.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _render(tmp_path, lines):
+    jl = tmp_path / "sweep.jsonl"
+    jl.write_text("".join(json.dumps(d) + "\n" for d in lines))
+    out = tmp_path / "B.md"
+    _load_renderer().main(str(jl), str(out))
+    return out.read_text()
+
+
+def test_dedup_keeps_fastest_p50_and_renders_noise_columns(tmp_path):
+    md = _render(tmp_path, [
+        {"check": "sweep start"},
+        # two same-code sessions: jitter only adds time -> keep the min
+        {"name": "deit_tiny_fused", "batch": 1, "fused": True,
+         "impl": "fused", "ms": 0.0601, "img_per_s": 16639, "iters": 100},
+        {"name": "deit_tiny_fused", "batch": 1, "fused": True,
+         "impl": "fused", "ms": 0.0530, "img_per_s": 18868,
+         "std_ms": 0.0021, "repeats": 5, "iters": 100},
+        {"training_steps": {"deit_tiny_b64": {"finetune": {"p50_ms": 11.7}}}},
+    ])
+    assert "| ±std | n |" in md
+    assert "| 0.0530 | 0.0021 | 5x100 |" in md
+    assert "0.0601" not in md  # slower same-code session row dropped
+    assert "## training_steps" in md and "11.7" in md
+
+
+def test_legacy_rows_without_std_render_dashes(tmp_path):
+    md = _render(tmp_path, [
+        {"name": "swin_tiny", "batch": 1, "fused": False, "impl": "xla",
+         "ms": 0.4308, "img_per_s": 2321, "iters": 100},
+    ])
+    row = next(l for l in md.splitlines() if l.startswith("| swin_tiny "))
+    assert "| — | — |" in row
+
+
+def test_error_rows_superseded_by_later_success(tmp_path):
+    md = _render(tmp_path, [
+        {"name": "t2t_vit_7_int8_static", "batch": 1, "impl": "int8",
+         "error": "RuntimeError: tunnel down"},
+        {"name": "t2t_vit_7_int8_static", "batch": 1, "fused": True,
+         "impl": "int8", "ms": 0.08, "img_per_s": 12500,
+         "std_ms": 0.001, "repeats": 5, "iters": 100},
+        {"name": "only_failed", "batch": 1, "impl": "xla",
+         "error": "ValueError: boom"},
+    ])
+    assert "tunnel down" not in md
+    assert "## Errors" in md and "only_failed" in md
