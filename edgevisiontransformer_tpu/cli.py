@@ -401,16 +401,17 @@ def cmd_convert(argv):
         if args.quantization == "dynamic":
             out = prepare_swin_int8(model, params)
         else:
-            if args.calib_percentile is not None or args.calib_method != "absmax":
+            if args.calib_percentile is not None:
                 raise SystemExit("swin calibration records absmax only "
-                                 "(--calib-percentile/--calib-method are "
-                                 "ViT/T2T-only)")
+                                 "(--calib-percentile is ViT/T2T-only)")
             from .cache import enable_compilation_cache
 
             enable_compilation_cache()
             out = prepare_swin_int8_static(model, params,
-                                           n=args.calib_batches)
+                                           n=args.calib_batches,
+                                           method=args.calib_method)
             meta["calib_batches"] = args.calib_batches
+            meta["calib_method"] = args.calib_method
         if not out:
             raise SystemExit(f"{args.model}: no stage qualifies for the "
                              "int8 whole-stage kernel")
@@ -516,9 +517,6 @@ def cmd_quant_accuracy(argv):
     import functools
 
     if isinstance(model, _Swin):
-        if args.with_mse:
-            raise SystemExit("--with-mse is ViT/T2T-only (swin calibration "
-                             "records absmax via sown scalars)")
         # Swin int8 IS the whole-stage kernel path (no XLA oracle exists),
         # so the table compares the deployment kernels directly: fp32 XLA
         # reference vs bf16 apply vs dynamic/static int8 whole-stage
@@ -557,6 +555,9 @@ def cmd_quant_accuracy(argv):
             "dynamic_int8": _swin_mode(q),
             "static_int8": _swin_mode(qs),
         }
+        if args.with_mse:
+            modes["static_int8_mse"] = _swin_mode(prepare_swin_int8_static(
+                model_bf, pbf16, n=args.calib_batches, method="mse"))
     else:
         is_t2t = isinstance(model, _T2T)
         calibrate = calibrate_t2t if is_t2t else calibrate_vit
@@ -699,10 +700,8 @@ def cmd_eval(argv):
         if args.impl in ("int8", "int8_fused"):
             q = prepare_swin_int8(model, params)
         elif args.impl in ("int8_static", "int8_static_fused"):
-            if args.calib_method != "absmax":
-                raise SystemExit("swin calibration records absmax only "
-                                 "(--calib-method is ViT/T2T-only)")
-            q = prepare_swin_int8_static(model, params)
+            q = prepare_swin_int8_static(model, params,
+                                         method=args.calib_method)
         else:
             q = None
         if q is not None and not q:

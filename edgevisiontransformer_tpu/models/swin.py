@@ -161,6 +161,11 @@ class WindowAttention(nn.Module):
             # matmul INPUT (the whole-stage kernel's quant points)
             self.sow("acts", "qkv_in_absmax",
                      jnp.max(jnp.abs(x.astype(jnp.float32))))
+        if (self.is_mutable_collection("acts_full")
+                and not self.is_initializing()):
+            # MSE clip-search pass: the full tensor (quant-MSE reduced
+            # in-jit by calibrate_swin; never fetched)
+            self.sow("acts_full", "qkv_in", x.astype(jnp.float32))
         qkv = nn.Dense(self.dim * 3, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
                        param_dtype=cfg.param_dtype, name="qkv")(x)
         bias_table = self.param(
@@ -221,6 +226,9 @@ class WindowAttention(nn.Module):
         if self.is_mutable_collection("acts"):
             self.sow("acts", "proj_in_absmax",
                      jnp.max(jnp.abs(out.astype(jnp.float32))))
+        if (self.is_mutable_collection("acts_full")
+                and not self.is_initializing()):
+            self.sow("acts_full", "proj_in", out.astype(jnp.float32))
         return nn.Dense(self.dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                         name="proj")(out)
 
@@ -279,6 +287,12 @@ class SwinBlock(nn.Module):
                 xn @ w1.astype(cfg.dtype) + bb1.astype(cfg.dtype))
             self.sow("acts", "fc2_in_absmax",
                      jnp.max(jnp.abs(hid_c.astype(jnp.float32))))
+        if (self.is_mutable_collection("acts_full")
+                and not self.is_initializing()):
+            self.sow("acts_full", "fc1_in", xn.astype(jnp.float32))
+            hid_f = get_gelu(cfg.gelu_approx)(
+                xn @ w1.astype(cfg.dtype) + bb1.astype(cfg.dtype))
+            self.sow("acts_full", "fc2_in", hid_f.astype(jnp.float32))
         x = x + mlp_block(xn, w1.astype(cfg.dtype), bb1.astype(cfg.dtype),
                           w2.astype(cfg.dtype), bb2.astype(cfg.dtype),
                           get_gelu(cfg.gelu_approx))
@@ -497,8 +511,20 @@ def prepare_swin_int8(model: "SwinTransformer", variables,
     return out
 
 
+def _strip_absmax_names(tree):
+    """acts tree ({...: {"qkv_in_absmax": (scalar,)}}) -> same paths with
+    the "_absmax" suffix dropped and the sow 1-tuples unwrapped — the key
+    layout of the "acts_full" collection, so the two trees zip in
+    jax.tree.map for the MSE pass."""
+    if isinstance(tree, dict):
+        return {k.replace("_absmax", ""): _strip_absmax_names(v)
+                for k, v in tree.items()}
+    return tree[0]
+
+
 def calibrate_swin(model: "SwinTransformer", variables, batches=None,
-                   n: int = 32, percentile=None) -> dict:
+                   n: int = 32, percentile=None,
+                   method: str = "absmax") -> dict:
     """Representative-dataset activation calibration for static int8 Swin
     (the converter's TFLITE_BUILTINS_INT8 pass, reference utils.py:263-277,
     applied to the whole-stage kernel's quant points).
@@ -508,20 +534,30 @@ def calibrate_swin(model: "SwinTransformer", variables, batches=None,
     accumulate on device across batches, ONE final fetch.  Returns
     {si: [depth, 4] fp32} act scales in (qkv, proj, fc1, fc2) order.
 
+    ``method="mse"`` adds a second pass over the same batches: the modules
+    sow the FULL activations into "acts_full", the quant MSE for each
+    candidate clip ratio*absmax (ops.quant.MSE_CLIP_RATIOS) is reduced
+    in-jit (tensors never leave the device), and each tensor keeps the
+    argmin clip — the Swin analogue of calibrate_vit's clip search.
+
     ``percentile`` is accepted for API symmetry with calibrate_vit but the
-    sow pass records absmax only (per-batch percentile clipping would need
-    the full activations); None is required.
+    sow pass records absmax only (fixed-percentile clipping also measured
+    strictly worse on the ViT oracle); None is required.
     """
     import numpy as np
 
     if percentile is not None:
         raise NotImplementedError("swin calibration records absmax only")
+    if method not in ("absmax", "mse"):
+        raise ValueError(f"unknown calibration method {method!r}")
     cfg = model.config
     if batches is None:
         from ..ops.quant import representative_batches
 
         batches = representative_batches(
             n=n, shape=(cfg.in_channels, cfg.image_size, cfg.image_size))
+    if method == "mse":
+        batches = list(batches)  # two passes
 
     # variables as a jit ARG (never a closure: the 413 lesson); absmax
     # scalars accumulate in the returned pytree
@@ -530,22 +566,56 @@ def calibrate_swin(model: "SwinTransformer", variables, batches=None,
         return acts["acts"]
 
     collect = jax.jit(collect)
-    run = None
+    run_dev = None
     for batch in batches:
         acts = collect(variables, jnp.asarray(batch))
-        run = acts if run is None else jax.tree.map(jnp.maximum, run, acts)
-    run = jax.device_get(run)  # sow leaves are 1-tuples of scalars
+        run_dev = acts if run_dev is None else jax.tree.map(
+            jnp.maximum, run_dev, acts)
+
+    msum = None
+    if method == "mse":
+        from ..ops.quant import MSE_CLIP_RATIOS
+
+        ratios = jnp.asarray(MSE_CLIP_RATIOS, jnp.float32)
+        amax = _strip_absmax_names(run_dev)
+
+        def collect_mse(v, im, am):
+            _, fa = model.apply(v, im, mutable=["acts_full"])
+
+            def leaf_mse(a_t, m):
+                a = a_t[0]
+                s = jnp.maximum(m, 1e-30) * ratios / 127.0  # [R]
+                q = jnp.clip(jnp.round(a[..., None] / s), -127, 127) * s
+                return jnp.mean(jnp.square(a[..., None] - q),
+                                axis=tuple(range(a.ndim)))
+
+            return jax.tree.map(leaf_mse, fa["acts_full"], am,
+                                is_leaf=lambda t: isinstance(t, tuple))
+
+        collect_mse = jax.jit(collect_mse)
+        mse_dev = None
+        for batch in batches:
+            m = collect_mse(variables, jnp.asarray(batch), amax)
+            mse_dev = m if mse_dev is None else jax.tree.map(
+                jnp.add, mse_dev, m)
+        msum = jax.device_get(mse_dev)
+
+    run = jax.device_get(run_dev)  # sow leaves are 1-tuples of scalars
+    from ..ops.quant import MSE_CLIP_RATIOS
 
     out = {}
+    names = ("qkv_in", "proj_in", "fc1_in", "fc2_in")
     for g in _stage_geometry(cfg, variables["params"]):
         rows = np.ones((g.depth, 4), np.float32)
         for bi in range(g.depth):
             blk = run[f"stage_{g.si}_block_{bi}"]
-            vals = (blk["attn"]["qkv_in_absmax"][0],
-                    blk["attn"]["proj_in_absmax"][0],
-                    blk["fc1_in_absmax"][0], blk["fc2_in_absmax"][0])
-            for j, v in enumerate(vals):
-                m = float(v)
+            for j, name in enumerate(names):
+                sub = blk["attn"] if j < 2 else blk
+                m = float(sub[f"{name}_absmax"][0])
+                if msum is not None and m > 0:
+                    mblk = msum[f"stage_{g.si}_block_{bi}"]
+                    msub = mblk["attn"] if j < 2 else mblk
+                    m *= MSE_CLIP_RATIOS[int(np.argmin(msub[name]))]
                 rows[bi, j] = m / 127.0 if m > 0 else 1.0
         out[g.si] = rows
     return out
@@ -553,7 +623,8 @@ def calibrate_swin(model: "SwinTransformer", variables, batches=None,
 
 def prepare_swin_int8_static(model: "SwinTransformer", variables,
                              batches=None, n: int = 32,
-                             min_dim: int = 128) -> dict:
+                             min_dim: int = 128,
+                             method: str = "absmax") -> dict:
     """prepare_swin_int8 + calibrated static activation scales: per-stage
     int8 stacks whose per-channel scales FOLD in the per-(block, matmul)
     activation scale, plus ``act_inv`` [depth, 4] for the kernel's SMEM
@@ -565,7 +636,8 @@ def prepare_swin_int8_static(model: "SwinTransformer", variables,
     out = prepare_swin_int8(model, variables, min_dim=min_dim)
     if not out:
         return out
-    act_scales = calibrate_swin(model, variables, batches=batches, n=n)
+    act_scales = calibrate_swin(model, variables, batches=batches, n=n,
+                                method=method)
     keys = ("qkv_w", "proj_w", "fc1_w", "fc2_w")
     for si, stacked in out.items():
         act = jnp.asarray(act_scales[si])  # [depth, 4]

@@ -330,6 +330,22 @@ def test_fused_swin_int8_static_parity():
     np.testing.assert_allclose(y_stat, y_bf16, rtol=0.1, atol=0.2)
     np.testing.assert_array_equal(y_stat.argmax(-1), y_bf16.argmax(-1))
 
+    # MSE clip-search calibration (calibrate_vit's search, swin sow form):
+    # per-tensor clips stay in [0.6, 1.0] x absmax and at least one tensor
+    # actually tightens on random-normal calibration data
+    from edgevisiontransformer_tpu.ops.quant import MSE_CLIP_RATIOS
+
+    mse_scales = calibrate_swin(m, v, n=4, method="mse")
+    ratio = np.concatenate([np.asarray(mse_scales[si] / scales[si]).ravel()
+                            for si in scales])
+    assert (ratio <= 1.0 + 1e-6).all()
+    assert (ratio >= min(MSE_CLIP_RATIOS) - 1e-6).all()
+    qm = prepare_swin_int8_static(m, v, n=4, min_dim=0, method="mse")
+    y_mse = np.asarray(fused_swin_apply(m, v, x, prepared=prep,
+                                        int8_prepared=qm))
+    np.testing.assert_allclose(y_mse, y_bf16, rtol=0.1, atol=0.2)
+    np.testing.assert_array_equal(y_mse.argmax(-1), y_bf16.argmax(-1))
+
 
 def test_stage_geometry_matches_module_progression():
     """_stage_geometry must follow the module's res //= 2 progression (the

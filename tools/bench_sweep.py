@@ -261,9 +261,10 @@ def quant_accuracy_cases(fh):
         ("t2t_vit_7", ["--batches", "4", "--calib-batches", "32",
                        "--with-mse"]),
         # batch 1 rides the already-cached b1 whole-stage compiles (a b8
-        # whole-model Swin compile would be its own ~13 min cache entry)
+        # whole-model Swin compile would be its own ~13 min cache entry;
+        # the mse mode reuses the static mode's HLO — scales are args)
         ("swin_tiny", ["--batch", "1", "--batches", "8",
-                       "--calib-batches", "16"]),
+                       "--calib-batches", "16", "--with-mse"]),
     ]
     out = {}
     for model, extra in cases:
