@@ -1140,6 +1140,9 @@ def cmd_latency_model(argv):
     p.add_argument("--cv", type=int, default=5,
                    help="fit: also report k-fold cross-validated metrics "
                         "(0 disables)")
+    p.add_argument("--max-noise", type=float, default=None,
+                   help="fit: drop rows whose measured std_ms/ms exceeds "
+                        "this fraction (needs the collect noise columns)")
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
 
@@ -1183,6 +1186,16 @@ def cmd_latency_model(argv):
             print(f"dropping {len(bad)} non-positive latency rows "
                   f"(measurement failures)")
             rows = [r for r in rows if float(r["ms"]) > 0]
+        if args.max_noise is not None:
+            if rows and "std_ms" not in rows[0]:
+                raise SystemExit("--max-noise needs a csv with the collect "
+                                 "noise columns (encoding,ms,std_ms,iters)")
+            noisy = [r for r in rows
+                     if float(r["std_ms"]) / float(r["ms"]) > args.max_noise]
+            if noisy:
+                print(f"dropping {len(noisy)} rows with std/p50 > "
+                      f"{args.max_noise:g} (own-noise-floor gate)")
+                rows = [r for r in rows if r not in noisy]
         pred = LatencyPredictor()
         encs = [r["encoding"] for r in rows]
         ys = [float(r["ms"]) for r in rows]

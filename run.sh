@@ -141,7 +141,7 @@ function latency_predictor() {
     # BENCHMARKS.md via the sweep jsonl
     $CLI latency_model collect --size tiny --n 100 --output latency_tiny.csv
     $CLI latency_model fit --data latency_tiny.csv --output latency_tiny.pkl \
-        | tee /tmp/lat_fit.out
+        --max-noise 0.05 | tee /tmp/lat_fit.out
     PYTHONPATH=.:$PYTHONPATH python - <<'PYEOF'
 import json
 metrics = None

@@ -251,6 +251,22 @@ def test_latency_model_fit_predict_cmd(tmp_path, capsys):
                  "--encoding", encs[0]]) == 0
     assert "ms" in capsys.readouterr().out
 
+    # --max-noise drops rows above their own noise floor (needs std column)
+    csv2 = tmp_path / "lat_noise.csv"
+    with open(csv2, "w") as f:
+        f.write("encoding,ms,std_ms,iters\n")
+        for i, e in enumerate(encs):
+            feats = parse_features(e)
+            ms = 0.01 * sum(feats[0::2]) + 0.02 * sum(feats[1::2])
+            std = ms * (0.5 if i < 3 else 0.01)  # 3 noisy rows
+            f.write(f"{e},{ms},{std},100\n")
+    assert main(["latency_model", "fit", "--data", str(csv2),
+                 "--output", str(pkl), "--max-noise", "0.05"]) == 0
+    assert "dropping 3 rows" in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        main(["latency_model", "fit", "--data", str(csv_path),
+              "--output", str(pkl), "--max-noise", "0.05"])
+
 
 def test_experiments_prune_grid_cmd(capsys):
     assert main(["experiments", "prune_grid", "--size", "tiny"]) == 0
