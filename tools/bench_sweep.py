@@ -325,7 +325,14 @@ def main():
         log_line(fh, {"check": "sweep start", "device": str(jax.devices()[0]),
                       "cases": names})
         for n in names:
-            CASES[n](fh)
+            try:
+                CASES[n](fh)
+            except Exception as e:  # noqa: BLE001 - a family's prepare/
+                # calibrate step (outside the per-row try) must not kill
+                # the remaining families — record and continue
+                traceback.print_exc()
+                log_line(fh, {"name": f"case:{n}", "batch": 0,
+                              "error": f"{type(e).__name__}: {e}"})
         log_line(fh, {"check": "sweep done"})
 
 
