@@ -88,6 +88,8 @@ function r3_pending() {
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=quant_accuracy
     latency_predictor
     python tools/make_benchmarks_md.py $SWEEP BENCHMARKS.md
+    $CLI plot latency_macs --sweep $SWEEP --batch 1 \
+        --output latency_macs.png || true
     bench_gate
 }
 
