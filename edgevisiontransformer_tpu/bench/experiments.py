@@ -106,23 +106,35 @@ def quant_op_sweep(
     sizes: Sequence[int] = (256, 512, 1024, 2048),
     iters: int = 50, repeats: int = 3,
 ) -> List[Dict]:
-    """Matmul latency, bf16 vs dynamic-int8, per square size."""
-    from ..ops.quant import int8_matmul_dynamic, quantize_weight_int8
+    """Matmul latency per square size: bf16 vs dynamic-int8 (runtime per-row
+    act quant) vs static-int8 (calibrated scale — isolates the dynamic
+    overhead that makes int8 lose at small sizes)."""
+    from ..ops.quant import (
+        int8_matmul_dynamic,
+        int8_matmul_static,
+        quantize_weight_int8,
+    )
 
     out = []
     for n in sizes:
         x = jax.random.normal(jax.random.key(0), (n, n), jnp.bfloat16)
         w = jax.random.normal(jax.random.key(1), (n, n), jnp.bfloat16)
         wq, ws = quantize_weight_int8(w.astype(jnp.float32))
+        act_s = float(jnp.max(jnp.abs(x)) / 127.0)
+        comb = (ws * act_s).astype(jnp.float32)
         r_bf16 = measure_op_time(lambda a, b: a @ b, (x, w),
                                  iters=iters, repeats=repeats, chain_arg=0)
         r_int8 = measure_op_time(
             lambda a, q, s: int8_matmul_dynamic(a, q, s), (x, wq, ws),
             iters=iters, repeats=repeats, chain_arg=0)
+        r_stat = measure_op_time(
+            lambda a, q, c: int8_matmul_static(a, q, c, act_s), (x, wq, comb),
+            iters=iters, repeats=repeats, chain_arg=0)
         out.append({
             "size": n,
             "bf16_ms": r_bf16["p50_ms"],
             "int8_dynamic_ms": r_int8["p50_ms"],
+            "int8_static_ms": r_stat["p50_ms"],
         })
     return out
 

@@ -86,6 +86,7 @@ function r3_pending() {
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=swin
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=vit
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=quant_accuracy
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=experiments
     latency_predictor
     python tools/make_benchmarks_md.py $SWEEP BENCHMARKS.md
     $CLI plot latency_macs --sweep $SWEEP --batch 1 \
