@@ -19,6 +19,8 @@ where the command still makes sense on TPU:
                    (deit_pruning/src/train_main.py)
   latency_model    collect / fit / predict RF latency predictor
                    (deit_pruning/src/latency_model.py, get_latency.py)
+  logscrape        latency_std | mem | accuracy | markers result scrapers
+                   (fetch_latency_std tools.py subcommand, fetch_results.py)
   experiments      fusion_ab | quant_sweep | prune_grid | micro sweeps
                    (experiments.py)
   flops            analytic MACs tables (flops_calculation)
@@ -1227,6 +1229,41 @@ def cmd_latency_model(argv):
         print(f"{pred.predict(args.encoding):.4f} ms")
 
 
+def cmd_logscrape(argv):
+    """Result-collection scrapers (reference fetch_latency_std tools.py
+    subcommand, utils.py:409-461 + fetch_results.py:6-40): pull latency/
+    std, memory, accuracy series out of benchmark logs, or walk a model
+    dir tree for accuracy markers.  Works on our logs AND reference logs
+    (same "Avg latency X ms, Std Y ms" contract)."""
+    p = argparse.ArgumentParser(prog="logscrape")
+    p.add_argument("what", choices=["latency_std", "mem", "accuracy",
+                                    "markers"])
+    p.add_argument("--file", default=None, help="log file to scrape")
+    p.add_argument("--dir", default=None,
+                   help="markers: root dir to walk for accuracy*.txt")
+    args = p.parse_args(argv)
+
+    from .utils import logscrape as ls
+
+    if args.what == "markers":
+        if not args.dir:
+            raise SystemExit("markers needs --dir")
+        for name, acc in sorted(ls.fetch_results_from_markers(args.dir).items()):
+            print(f"{name} {acc:.4f}")
+        return
+    if not args.file:
+        raise SystemExit(f"{args.what} needs --file")
+    if args.what == "latency_std":
+        for avg, std in ls.fetch_latency_std(args.file):
+            print(f"{avg:.4f} {std:.4f}")
+    elif args.what == "mem":
+        for v in ls.fetch_mem_footprints(args.file):
+            print(f"{v:.2f}")
+    else:
+        for v in ls.fetch_accuracies_from_log(args.file):
+            print(f"{v:.4f}")
+
+
 def cmd_experiments(argv):
     """Fusion/quant/prune experiment generators (reference experiments.py)."""
     p = argparse.ArgumentParser(prog="experiments")
@@ -1333,6 +1370,7 @@ COMMANDS = {
     "finetune": cmd_finetune,
     "sparse_train": cmd_sparse_train,
     "latency_model": cmd_latency_model,
+    "logscrape": cmd_logscrape,
     "experiments": cmd_experiments,
     "flops": cmd_flops,
     "plot": cmd_plot,

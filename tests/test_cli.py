@@ -268,6 +268,25 @@ def test_latency_model_fit_predict_cmd(tmp_path, capsys):
               "--output", str(pkl), "--max-noise", "0.05"])
 
 
+def test_logscrape_cmd(tmp_path, capsys):
+    """logscrape = the reference's fetch_latency_std subcommand + the
+    fetch_results marker walk, CLI-exposed (tools.py:1059-1060)."""
+    log = tmp_path / "bench.log"
+    log.write_text("Avg latency 1.2345 ms, Std 0.0321 ms\n"
+                   "Mem footprint(MB): 26.66\ntop1 0.7221\n")
+    assert main(["logscrape", "latency_std", "--file", str(log)]) == 0
+    assert "1.2345 0.0321" in capsys.readouterr().out
+    assert main(["logscrape", "mem", "--file", str(log)]) == 0
+    assert "26.66" in capsys.readouterr().out
+    assert main(["logscrape", "accuracy", "--file", str(log)]) == 0
+    assert "0.7221" in capsys.readouterr().out
+    d = tmp_path / "models" / "deit_tiny_p50"
+    d.mkdir(parents=True)
+    (d / "accuracy7221.txt").touch()
+    assert main(["logscrape", "markers", "--dir", str(tmp_path / "models")]) == 0
+    assert "deit_tiny_p50 0.7221" in capsys.readouterr().out
+
+
 def test_experiments_prune_grid_cmd(capsys):
     assert main(["experiments", "prune_grid", "--size", "tiny"]) == 0
     out = capsys.readouterr().out.splitlines()
