@@ -56,6 +56,51 @@ def cmd_models(argv):
     print("\n".join(available_models() + ["pruned_deit_{size}@{encoding}"]))
 
 
+def _load_quantized_artifact(path: str, dtype: str):
+    """Load a ``convert --quantization dynamic|int8`` artifact and return
+    (model, in_shape, args_tuple, fn) where ``fn(*args_tuple, x)`` runs the
+    deployment int8 kernels on it — the consume half of the reference's
+    convert -> run loop (tf2tflite -> mobile_benchmark / eval_tflite,
+    tools.py:1023-1075).  Works for ViT/DeiT, T2T (stacks rebuilt from the
+    saved quantized tree, bit-identical to prepare-time quantization) and
+    Swin (saved per-stage kernel stacks + float variables)."""
+    from .utils.checkpoint import load_checkpoint, load_meta
+
+    meta = load_meta(path)
+    if not meta or meta.get("quantization") not in ("dynamic", "int8"):
+        raise SystemExit(
+            f"{path}: not a quantized convert artifact (need meta.json with "
+            "quantization dynamic|int8; float16/bfloat16 casts load via "
+            "--checkpoint)")
+    model, in_shape = _build_model(meta["model"], meta.get("style", "standard"),
+                                   dtype)
+    tree = load_checkpoint(path)
+
+    from .models.swin import SwinTransformer, fused_swin_apply, prepare_swin_fused
+    from .models.t2t_vit import T2TViT, fused_t2t_apply_int8, prepare_t2t_fused
+    from .models.vit import fused_vit_apply_int8, stacks_from_quantized_tree
+
+    if isinstance(model, SwinTransformer):
+        if "variables" not in tree:
+            raise SystemExit(f"{path}: swin artifact predates the bundled "
+                             "float variables — re-run convert")
+        v = tree["variables"]
+        q = {int(k.split("_")[1]): s for k, s in tree.items()
+             if k.startswith("stage_")}
+        prep = prepare_swin_fused(model, v)
+        fn = lambda v_, pp_, qq_, x_: fused_swin_apply(
+            model, v_, x_, prepared=pp_, int8_prepared=qq_)
+        return model, in_shape, (v, prep, q), fn
+    stacks = stacks_from_quantized_tree(model.config, tree)
+    if isinstance(model, T2TViT):
+        prep = prepare_t2t_fused(model, tree)
+        fn = lambda v_, sq_, pp_, x_: fused_t2t_apply_int8(
+            model, v_, x_, sq_, prepared=pp_)
+        return model, in_shape, (tree, stacks, prep), fn
+    fn = lambda v_, sq_, x_: fused_vit_apply_int8(model, v_, x_, sq_)
+    return model, in_shape, (tree, stacks), fn
+
+
 def cmd_benchmark(argv):
     p = argparse.ArgumentParser(prog="benchmark")
     p.add_argument("--model", default="deit_tiny")
@@ -66,12 +111,29 @@ def cmd_benchmark(argv):
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--kernel-mode", default="xla",
                    choices=["xla", "pallas", "fused", "int8", "int8_static"])
+    p.add_argument("--quantized-checkpoint", default=None,
+                   help="benchmark a convert-saved dynamic/int8 artifact "
+                        "through the deployment kernels (overrides --model/"
+                        "--kernel-mode)")
     args = p.parse_args(argv)
 
     from .bench.looptimer import measure_op_time
     from .cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.quantized_checkpoint:
+        model, in_shape, qargs, fn = _load_quantized_artifact(
+            args.quantized_checkpoint, args.dtype)
+        x = jnp.ones((args.batch,) + in_shape, jnp.dtype(args.dtype))
+        r = measure_op_time(fn, qargs + (x,), iters=args.iters,
+                            repeats=args.repeats, chain_arg=-1)
+        r["model"] = args.quantized_checkpoint
+        r["batch"] = args.batch
+        r["throughput_per_s"] = (args.batch / (r["p50_ms"] / 1e3)
+                                 if r["p50_ms"] else None)
+        print(f"Avg latency {r['avg_ms']:.4f} ms, Std {r['std_ms']:.4f} ms")
+        print(json.dumps(r))
+        return r
     model, in_shape = _build_model(args.model, args.style, args.dtype)
     x = jnp.ones((args.batch,) + in_shape, jnp.dtype(args.dtype))
     params = model.init(jax.random.key(0), x)
@@ -420,6 +482,10 @@ def cmd_convert(argv):
         out = {f"stage_{si}": stacked for si, stacked in out.items()}
         meta["int8_stages"] = sorted(
             int(k.split("_")[1]) for k in out)
+        # bundle the float variables so the artifact is standalone-runnable
+        # (patch embed / merges / norms / head stay float, like the ViT
+        # tree) — benchmark/eval --quantized-checkpoint consume it
+        out["variables"] = params
         print(f"int8 stages: {meta['int8_stages']}")
     elif args.quantization == "dynamic":
         out = quantize_vit_params_int8(params)
@@ -677,10 +743,25 @@ def cmd_eval(argv):
                    choices=["absmax", "mse"],
                    help="int8_static impls: activation-clip calibration "
                         "(ViT/T2T families; swin records absmax)")
+    p.add_argument("--quantized-checkpoint", default=None,
+                   help="evaluate a convert-saved dynamic/int8 artifact "
+                        "through the deployment kernels (overrides --model/"
+                        "--impl; the reference's eval_tflite on a converted "
+                        "model)")
     args = p.parse_args(argv)
 
     from .utils.checkpoint import load_checkpoint
     from .utils.imagenet import evaluate, write_accuracy_marker
+
+    if args.quantized_checkpoint:
+        model, _, qargs, qfn = _load_quantized_artifact(
+            args.quantized_checkpoint, "float32")
+        acc = evaluate(lambda p_, x_: qfn(*p_, x_), qargs, args.data_dir,
+                       batch_size=args.batch, limit=args.limit, progress=True)
+        print(f"top1 {acc:.4f}")
+        if args.marker_dir:
+            write_accuracy_marker(args.marker_dir, acc)
+        return
 
     model, _ = _build_model(args.model, args.style)
     params = model.init(jax.random.key(0), jnp.ones((1, 3, 224, 224)))

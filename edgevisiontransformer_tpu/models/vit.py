@@ -435,6 +435,75 @@ def prepare_vit_int8(model: ViT, variables) -> dict:
     ]}
 
 
+def stacks_from_quantized_tree(cfg, qtree) -> dict:
+    """Rebuild the fused int8 kernel stacks from a CONVERT-SAVED quantized
+    param tree (quantize_vit_params_int8[_static] output restored from an
+    orbax checkpoint) — the consume half of the reference's convert -> run
+    loop (tf2tflite -> mobile_benchmark/eval_tflite, tools.py:1023-1075).
+
+    The saved tree keeps kernel leaves as {"q": int8, "scale": f32[out]
+    [, "act_scale": f32 scalar]} and everything else float; quantization
+    already happened at convert time, so this is pure re-stacking — the
+    result is bit-identical to prepare_vit_int8[_static] on the original
+    float params.  Returns the same uniform-or-{"segments": [...]} shape."""
+    import numpy as np
+
+    p = qtree["params"] if "params" in qtree else qtree
+    keymap = (("qkv_w", lambda b: b["attn"]["qkv_kernel"]),
+              ("out_w", lambda b: b["attn"]["out_kernel"]),
+              ("fc1_w", lambda b: b["ffn"]["fc1_kernel"]),
+              ("fc2_w", lambda b: b["ffn"]["fc2_kernel"]))
+
+    def one_segment(start: int, depth: int) -> dict:
+        def stack(getter):
+            arrs = [getter(p[f"block_{i}"])
+                    for i in range(start, start + depth)]
+            out = jnp.stack([jnp.asarray(a) for a in arrs])
+            if out.ndim == 2:
+                out = out[:, None, :]
+            return out
+
+        inner = np.asarray(p[f"block_{start}"]["attn"]["qkv_kernel"]["q"]).shape[1]
+        stacked = {
+            "ln1_g": stack(lambda b: b["ln1"]["scale"]),
+            "ln1_b": stack(lambda b: b["ln1"]["bias"]),
+            "qkv_b": stack(lambda b: b["attn"]["qkv_bias"]) if cfg.qkv_bias
+            else jnp.zeros((depth, 1, inner), jnp.float32),
+            "out_b": stack(lambda b: b["attn"]["out_bias"]),
+            "ln2_g": stack(lambda b: b["ln2"]["scale"]),
+            "ln2_b": stack(lambda b: b["ln2"]["bias"]),
+            "fc1_b": stack(lambda b: b["ffn"]["fc1_bias"]),
+            "fc2_b": stack(lambda b: b["ffn"]["fc2_bias"]),
+        }
+        static = "act_scale" in p[f"block_{start}"]["attn"]["qkv_kernel"]
+        act_inv = np.ones((depth, 4), np.float32)
+        for j, (key, getter) in enumerate(keymap):
+            stacked[key] = stack(lambda b: getter(b)["q"]).astype(jnp.int8)
+            # saved [out] scales (dynamic: weight; static: combined w*act)
+            # -> the stacked [L, 1, out] form
+            stacked[key.replace("_w", "_s")] = stack(
+                lambda b: getter(b)["scale"]).astype(jnp.float32)
+            if static:
+                for li in range(depth):
+                    act_inv[li, j] = 1.0 / float(np.asarray(
+                        p[f"block_{start + li}"]["attn" if j < 2 else "ffn"][
+                            ("qkv_kernel", "out_kernel", "fc1_kernel",
+                             "fc2_kernel")[j]]["act_scale"]))
+        if static:
+            stacked["act_inv"] = jnp.asarray(act_inv)
+        # float glue (ln/bias) follows the model compute dtype, like the
+        # prepare-time stacks; scales/act_inv stay fp32, weights int8
+        for k in ("ln1_g", "ln1_b", "ln2_g", "ln2_b",
+                  "qkv_b", "out_b", "fc1_b", "fc2_b"):
+            stacked[k] = stacked[k].astype(cfg.dtype)
+        return stacked
+
+    segs = encoder_segments(cfg)
+    if len(segs) == 1:
+        return one_segment(0, cfg.depth)
+    return {"segments": [one_segment(s, d) for s, d, _, _ in segs]}
+
+
 def prepare_vit_int8_static(model: ViT, variables,
                             act_scales=None, calib_batches=None,
                             percentile: float | None = None,

@@ -88,8 +88,69 @@ def test_convert_swin_dynamic_saves_stage_stacks(tmp_path, capsys):
     from edgevisiontransformer_tpu.utils.checkpoint import load_checkpoint
 
     tree = load_checkpoint(str(out_dir))
-    assert set(tree) == {"stage_1", "stage_2", "stage_3"}
+    assert set(tree) == {"stage_1", "stage_2", "stage_3", "variables"}
     assert "qkv_w" in tree["stage_1"] and "act_inv" not in tree["stage_1"]
+    # the bundled float variables make the artifact standalone-runnable
+    assert "params" in tree["variables"]
+
+
+def test_quantized_checkpoint_consume(tmp_path, monkeypatch, capsys):
+    """The convert -> run loop (reference tf2tflite -> mobile_benchmark /
+    eval_tflite): benchmark and eval consume a saved dynamic/int8 artifact
+    through the deployment kernels.  The timer / eval loop are stubbed with
+    eval_shape so the kernel paths trace abstractly (no interpret-mode
+    execution); stack bit-identity is asserted in test_quant."""
+    import jax
+
+    import edgevisiontransformer_tpu.bench.looptimer as lt
+    import edgevisiontransformer_tpu.utils.imagenet as im
+
+    out_dir = tmp_path / "dyn"
+    assert main(["convert", "--model", "deit_tiny",
+                 "--quantization", "dynamic", "--output", str(out_dir)]) == 0
+
+    def stub(fn, args, **kw):
+        out = jax.eval_shape(fn, *args)
+        assert out.shape[-1] == 1000
+        return {"p50_ms": 1.0, "avg_ms": 1.0, "std_ms": 0.0, "min_ms": 1.0,
+                "max_ms": 1.0, "iters": kw.get("iters", 1),
+                "repeats": kw.get("repeats", 1)}
+
+    monkeypatch.setattr(lt, "measure_op_time", stub)
+    rc = main(["benchmark", "--quantized-checkpoint", str(out_dir),
+               "--iters", "2", "--repeats", "1"])
+    assert rc == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["model"] == str(out_dir)
+
+    def eval_stub(apply_fn, params, *a, **kw):
+        out = jax.eval_shape(apply_fn, params,
+                             jax.ShapeDtypeStruct((2, 3, 224, 224),
+                                                  jax.numpy.float32))
+        assert out.shape == (2, 1000)
+        return 0.5
+
+    monkeypatch.setattr(im, "evaluate", eval_stub)
+    rc = main(["eval", "--quantized-checkpoint", str(out_dir),
+               "--data-dir", str(tmp_path)])
+    assert rc == 0
+    assert "top1 0.5000" in capsys.readouterr().out
+
+    # T2T artifact: encoder int8, tokenizer float (constants preserved)
+    t2t_dir = tmp_path / "t2t"
+    assert main(["convert", "--model", "t2t_vit_7",
+                 "--quantization", "dynamic", "--output", str(t2t_dir)]) == 0
+    rc = main(["benchmark", "--quantized-checkpoint", str(t2t_dir),
+               "--iters", "2", "--repeats", "1"])
+    assert rc == 0
+    capsys.readouterr()
+
+    # a float16 cast artifact is NOT consumable through the int8 path
+    fp_dir = tmp_path / "fp16"
+    assert main(["convert", "--model", "deit_tiny",
+                 "--quantization", "float16", "--output", str(fp_dir)]) == 0
+    with pytest.raises(SystemExit):
+        main(["benchmark", "--quantized-checkpoint", str(fp_dir)])
 
 
 def test_plot_cmd(tmp_path, capsys):

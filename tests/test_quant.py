@@ -192,6 +192,41 @@ def test_int8_vit_apply_static_close_to_float():
     assert rel < 2.5 * rel_dyn + 1e-3, (rel, rel_dyn)
 
 
+def test_stacks_from_quantized_tree_bit_identical():
+    """The convert -> run loop: re-stacking a saved quantized tree must be
+    BIT-identical to prepare-time quantization (same per-channel rounding),
+    for both dynamic and static modes (reference tf2tflite ->
+    mobile_benchmark consumes the converted artifact, tools.py:1023-1075)."""
+    from edgevisiontransformer_tpu.models.vit import (
+        prepare_vit_int8,
+        prepare_vit_int8_static,
+        stacks_from_quantized_tree,
+    )
+    from edgevisiontransformer_tpu.ops.quant import (
+        calibrate_vit,
+        quantize_vit_params_int8_static,
+    )
+
+    model, params, x = _tiny_model()
+    qd = quantize_vit_params_int8(params)
+    got = stacks_from_quantized_tree(model.config, qd)
+    want = prepare_vit_int8(model, params)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]),
+                                      err_msg=k)
+
+    scales = calibrate_vit(model, params, batches=[np.asarray(x)])
+    qs = quantize_vit_params_int8_static(params, scales)
+    got_s = stacks_from_quantized_tree(model.config, qs)
+    want_s = prepare_vit_int8_static(model, params, act_scales=scales)
+    assert set(got_s) == set(want_s) and "act_inv" in got_s
+    for k in want_s:
+        np.testing.assert_allclose(np.asarray(got_s[k], np.float32),
+                                   np.asarray(want_s[k], np.float32),
+                                   rtol=1e-6, err_msg=k)
+
+
 def test_fused_int8_layerwise_pruned_segments():
     """Layerwise-pruned models run one int8 kernel per uniform segment
     (fused_vit_apply's segmentation) — the reference's prune -> quantize ->
