@@ -258,6 +258,19 @@ def test_fused_int8_layerwise_pruned_segments():
     qs = quantize_vit_params_int8_static(v, scales)
     oracle = np.asarray(int8_vit_apply_static(model, qs, x))
 
+    # convert -> run for pruned models: the saved quantized tree re-stacks
+    # into one segment per uniform run, identical to prepare-time stacks
+    from edgevisiontransformer_tpu.models.vit import stacks_from_quantized_tree
+
+    got = stacks_from_quantized_tree(cfg, qs)
+    want = prepare_vit_int8_static(model, v, act_scales=scales)
+    assert len(got["segments"]) == len(want["segments"]) == 12
+    for gs, ws in zip(got["segments"], want["segments"]):
+        for k in ws:
+            np.testing.assert_allclose(np.asarray(gs[k], np.float32),
+                                       np.asarray(ws[k], np.float32),
+                                       rtol=1e-6, err_msg=k)
+
     sq = prepare_vit_int8_static(model, v, act_scales=scales)
     assert len(sq["segments"]) == 12
     got = np.asarray(fused_vit_apply_int8(model, v, x, sq))
