@@ -84,9 +84,19 @@ def _load_quantized_artifact(path: str, dtype: str):
         if "variables" not in tree:
             raise SystemExit(f"{path}: swin artifact predates the bundled "
                              "float variables — re-run convert")
-        v = tree["variables"]
-        q = {int(k.split("_")[1]): s for k, s in tree.items()
-             if k.startswith("stage_")}
+        # convert saves fp32; float glue follows the requested compute dtype
+        # here (exactly like the ViT branch via stacks_from_quantized_tree)
+        # so the kernels see the same dtype mix as the prepare-time path:
+        # int8 weights and fp32 scales/act_inv keep their artifact dtypes.
+        dt = model.config.dtype
+        _is_f = lambda a: jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+        v = jax.tree.map(lambda a: a.astype(dt) if _is_f(a) else a,
+                         tree["variables"])
+        q = {int(k.split("_")[1]): {
+                 kk: (s if kk.endswith("_s") or kk == "act_inv"
+                      or not _is_f(s) else s.astype(dt))
+                 for kk, s in stacked.items()}
+             for k, stacked in tree.items() if k.startswith("stage_")}
         prep = prepare_swin_fused(model, v)
         fn = lambda v_, pp_, qq_, x_: fused_swin_apply(
             model, v_, x_, prepared=pp_, int8_prepared=qq_)
@@ -655,15 +665,21 @@ def cmd_quant_accuracy(argv):
             qmse = quantize_vit_params_int8_static(params, scales_mse)
             modes["static_int8_mse"] = functools.partial(
                 jax.jit(lambda q_, x: apply_stat(model, q_, x)), qmse)
+    # fp32 oracle on the HOST backend: committing params to CPU pins the jit
+    # there (uncommitted numpy inputs follow).  Matches the reference's
+    # host-TF-fp32 vs device-TFLite comparison (D1118), and avoids a
+    # whole-model fp32 compile over the tunnel (~13 min uncached for Swin).
+    cpu0 = jax.devices("cpu")[0]
+    params_host = jax.device_put(params, cpu0)
     ref_fn = functools.partial(jax.jit(lambda p_, x: model.apply(p_, x)),
-                               params)
+                               params_host)
 
     stats = {m: {"max_abs": 0.0, "max_rel": 0.0, "agree": 0, "n": 0}
              for m in modes}
     for batch in representative_batches(args.batches, args.batch, in_shape,
                                         seed=1234):
         xb = jnp.asarray(batch)
-        ref = np.asarray(ref_fn(xb))
+        ref = np.asarray(ref_fn(batch))
         denom = np.abs(ref).max() + 1e-9
         for m, fn in modes.items():
             got = np.asarray(fn(xb)).astype(np.float32)
@@ -1273,12 +1289,21 @@ def cmd_latency_model(argv):
             if rows and "std_ms" not in rows[0]:
                 raise SystemExit("--max-noise needs a csv with the collect "
                                  "noise columns (encoding,ms,std_ms,iters)")
-            noisy = [r for r in rows
-                     if float(r["std_ms"]) / float(r["ms"]) > args.max_noise]
-            if noisy:
-                print(f"dropping {len(noisy)} rows with std/p50 > "
-                      f"{args.max_noise:g} (own-noise-floor gate)")
-                rows = [r for r in rows if r not in noisy]
+
+            def _quiet(r):
+                # rows from a resumed/merged collect may lack std values;
+                # they can't prove they're below the gate — drop them too
+                try:
+                    return float(r["std_ms"]) / float(r["ms"]) <= args.max_noise
+                except (KeyError, TypeError, ValueError):
+                    return False
+
+            kept = [r for r in rows if _quiet(r)]
+            if len(kept) != len(rows):
+                print(f"dropping {len(rows) - len(kept)} rows with std/p50 > "
+                      f"{args.max_noise:g} or missing std "
+                      "(own-noise-floor gate)")
+                rows = kept
         pred = LatencyPredictor()
         encs = [r["encoding"] for r in rows]
         ys = [float(r["ms"]) for r in rows]

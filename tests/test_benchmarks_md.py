@@ -42,6 +42,28 @@ def test_dedup_keeps_fastest_p50_and_renders_noise_columns(tmp_path):
     assert "## training_steps" in md and "11.7" in md
 
 
+def test_noisy_row_loses_to_quiet_row_even_if_faster(tmp_path):
+    """A bursty-contention loop-delta can UNDERSHOOT (std ~ mean): the
+    fastest-p50 dedup must prefer a quiet row over a faster-but-noisy one
+    (std/p50 > 0.25), and only fall back to noisy rows when no quiet
+    measurement exists for the key."""
+    md = _render(tmp_path, [
+        # noisy row is faster but std/p50 = 0.89 -> quiet 3.23 row wins
+        {"name": "t2t_vit_14", "batch": 32, "fused": False, "impl": "xla",
+         "ms": 2.8019, "img_per_s": 11421, "std_ms": 2.4904, "repeats": 3,
+         "iters": 20},
+        {"name": "t2t_vit_14", "batch": 32, "fused": False, "impl": "xla",
+         "ms": 3.2275, "img_per_s": 9915, "std_ms": 0.2025, "repeats": 3,
+         "iters": 20},
+        # only-noisy key still renders (fallback)
+        {"name": "swin_x", "batch": 1, "fused": True, "impl": "fused",
+         "ms": 1.0, "img_per_s": 1000, "std_ms": 0.9, "repeats": 3,
+         "iters": 20},
+    ])
+    assert "| 3.2275 |" in md and "| 2.8019 |" not in md
+    assert "| 1.0000 |" in md
+
+
 def test_legacy_rows_without_std_render_dashes(tmp_path):
     md = _render(tmp_path, [
         {"name": "swin_tiny", "batch": 1, "fused": False, "impl": "xla",

@@ -94,6 +94,48 @@ def test_convert_swin_dynamic_saves_stage_stacks(tmp_path, capsys):
     assert "params" in tree["variables"]
 
 
+def test_swin_artifact_dtype_reconciliation(tmp_path, monkeypatch, capsys):
+    """Loading a (fp32-saved) Swin artifact at --dtype bfloat16 must cast
+    the float glue to the compute dtype — the same dtype mix the
+    prepare-time path produces — while int8 weights and fp32 scales keep
+    their artifact dtypes.  Then the benchmark consume path traces."""
+    import jax
+    import jax.numpy as jnp
+
+    import edgevisiontransformer_tpu.bench.looptimer as lt
+    from edgevisiontransformer_tpu.cli import _load_quantized_artifact
+
+    out_dir = tmp_path / "swin_dyn"
+    assert main(["convert", "--model", "swin_tiny",
+                 "--quantization", "dynamic", "--output", str(out_dir)]) == 0
+
+    model, in_shape, qargs, fn = _load_quantized_artifact(
+        str(out_dir), "bfloat16")
+    v, prep, q = qargs
+    assert model.config.dtype == jnp.bfloat16
+    # float glue follows the compute dtype
+    leaf = v["params"]["patch_kernel"]
+    assert leaf.dtype == jnp.bfloat16
+    st = q[1]
+    assert st["qkv_w"].dtype == jnp.int8
+    assert st["qkv_s"].dtype == jnp.float32
+    for k in ("qkv_b", "proj_b", "fc1_b", "fc2_b", "ln1_g", "ln2_b"):
+        assert st[k].dtype == jnp.bfloat16, (k, st[k].dtype)
+
+    def stub(fn_, args_, **kw):
+        out = jax.eval_shape(fn_, *args_)
+        assert out.shape[-1] == 1000
+        return {"p50_ms": 1.0, "avg_ms": 1.0, "std_ms": 0.0, "min_ms": 1.0,
+                "max_ms": 1.0, "iters": kw.get("iters", 1),
+                "repeats": kw.get("repeats", 1)}
+
+    monkeypatch.setattr(lt, "measure_op_time", stub)
+    rc = main(["benchmark", "--quantized-checkpoint", str(out_dir),
+               "--iters", "2", "--repeats", "1"])
+    assert rc == 0
+    capsys.readouterr()
+
+
 def test_quantized_checkpoint_consume(tmp_path, monkeypatch, capsys):
     """The convert -> run loop (reference tf2tflite -> mobile_benchmark /
     eval_tflite): benchmark and eval consume a saved dynamic/int8 artifact

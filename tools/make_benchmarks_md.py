@@ -35,16 +35,29 @@ def main(*paths):
         else:
             extras.update(d)
 
-    # dedup: keep the FASTEST p50 per (name, batch, impl-ish key).  The
-    # tunneled chip's b1 rows jitter up to ~30% (and t2t b32 ~15%) between
-    # same-code sessions; contention/jitter only ever ADDS time, so min of
-    # p50s across sessions of the same code is the least-biased pick.  The
-    # input jsonl must therefore contain only same-code sessions (run.sh
-    # full_sweep starts a fresh file per round).
+    # dedup: keep the FASTEST p50 per (name, batch, impl-ish key) among
+    # QUIET rows.  The tunneled chip's b1 rows jitter up to ~30% (and t2t
+    # b32 ~15%) between same-code sessions; steady contention only ADDS
+    # time, so min of p50s across sessions of the same code is the
+    # least-biased pick — EXCEPT when a row's own std rivals its mean: a
+    # K-vs-1 loop-delta under bursty contention can then UNDERSHOOT (the
+    # 1-iter anchor inflates more than the K-iter run), e.g. a recorded
+    # t2t_14 b32 "2.80 ±2.49" vs 3.23 clean.  So a noisy row (std/p50 >
+    # NOISE_GATE) only wins if no quiet row exists for the key.  The input
+    # jsonl must contain only same-code sessions (run.sh full_sweep starts
+    # a fresh file per round).
+    NOISE_GATE = 0.25
+
+    def _quiet(d):
+        return "std_ms" not in d or d["std_ms"] / d["ms"] <= NOISE_GATE
+
     seen = {}
     for d in rows:
         key = (d["name"], d["batch"], bool(d.get("fused")))
-        if key not in seen or d["ms"] < seen[key]["ms"]:
+        cur = seen.get(key)
+        if (cur is None
+                or (_quiet(d) and not _quiet(cur))
+                or (_quiet(d) == _quiet(cur) and d["ms"] < cur["ms"])):
             seen[key] = d
     rows = list(seen.values())
     # drop stale error lines superseded by a later successful measurement
