@@ -62,6 +62,16 @@ function bench_gate() {
     PYTHONPATH=.:$PYTHONPATH python tools/bench_gate.py $OPTIONS
 }
 
+function remeasure() {
+    # Interleaved same-window A/B re-measure of anomaly-prone rows
+    # (t2t7/t2t14/vit/swin groups; see tools/remeasure_rows.py) followed
+    # by a table re-render.  Run with an idle host: a loaded host can
+    # corrupt rounds even through the loop-delta timer.
+    PYTHONPATH=.:$PYTHONPATH python tools/remeasure_rows.py \
+        bench_sweep_r3.jsonl $OPTIONS
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl BENCHMARKS.md
+}
+
 function full_sweep() {
     # one jsonl per same-code measurement campaign (the generator keeps the
     # fastest p50 per row across sessions — only valid for identical code)

@@ -64,6 +64,37 @@ def test_noisy_row_loses_to_quiet_row_even_if_faster(tmp_path):
     assert "| 1.0000 |" in md
 
 
+def test_legacy_no_std_row_loses_to_slower_quiet_row(tmp_path):
+    """Rows from before std_ms landed carry no noise evidence, so they rank
+    below any measured-quiet row: a contention undershoot recorded without
+    std (t2t_7 b32 xla 1.33 vs 1.69 across interleaved clean-window A/Bs)
+    must not stick as the published number."""
+    md = _render(tmp_path, [
+        {"name": "t2t_vit_7", "batch": 32, "fused": False, "impl": "xla",
+         "ms": 1.3321, "img_per_s": 24022, "iters": 20},
+        {"name": "t2t_vit_7", "batch": 32, "fused": False, "impl": "xla",
+         "ms": 1.6903, "img_per_s": 18931, "std_ms": 0.1083, "repeats": 4,
+         "iters": 20},
+    ])
+    assert "| 1.6903 |" in md and "| 1.3321 |" not in md
+
+
+def test_two_repeats_are_not_noise_evidence(tmp_path):
+    """std over 2 samples can be tiny while both land inside one contention
+    burst (observed int8 1.429 '±0.00001' at 2x20 vs 1.71-1.79 clean): rows
+    with repeats < 3 rank with the no-evidence tier, so a slower >=3-repeat
+    quiet row wins."""
+    md = _render(tmp_path, [
+        {"name": "t2t_vit_7_int8_static", "batch": 32, "fused": True,
+         "impl": "int8", "ms": 1.4290, "img_per_s": 22393,
+         "std_ms": 0.00001, "repeats": 2, "iters": 20},
+        {"name": "t2t_vit_7_int8_static", "batch": 32, "fused": True,
+         "impl": "int8", "ms": 1.6913, "img_per_s": 18920,
+         "std_ms": 0.0793, "repeats": 3, "iters": 20},
+    ])
+    assert "| 1.6913 |" in md and "| 1.4290 |" not in md
+
+
 def test_legacy_rows_without_std_render_dashes(tmp_path):
     md = _render(tmp_path, [
         {"name": "swin_tiny", "batch": 1, "fused": False, "impl": "xla",

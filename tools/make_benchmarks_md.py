@@ -45,11 +45,21 @@ def main(*paths):
     # t2t_14 b32 "2.80 ±2.49" vs 3.23 clean.  So a noisy row (std/p50 >
     # NOISE_GATE) only wins if no quiet row exists for the key.  The input
     # jsonl must contain only same-code sessions (run.sh full_sweep starts
-    # a fresh file per round).
+    # a fresh file per round).  Rows measured before std_ms landed carry no
+    # noise evidence at all, so they rank BELOW any measured-quiet row: an
+    # undershoot artifact with no std (e.g. a recorded t2t_7 b32 xla 1.33 vs
+    # 1.69 across three interleaved clean-window A/Bs) would otherwise stick
+    # forever as "quiet".  Two repeats are not noise evidence either — both
+    # samples can land inside one contention burst and agree (observed:
+    # xla 0.873 "±0.043" and int8 1.429 "±0.00001" at 2x20 in a loaded
+    # window vs 1.69-1.79 across clean interleaved rounds) — so the quiet
+    # tier also requires >= MIN_REPEATS.
     NOISE_GATE = 0.25
+    MIN_REPEATS = 3
 
     def _quiet(d):
-        return "std_ms" not in d or d["std_ms"] / d["ms"] <= NOISE_GATE
+        return ("std_ms" in d and d.get("repeats", 0) >= MIN_REPEATS
+                and d["std_ms"] / d["ms"] <= NOISE_GATE)
 
     seen = {}
     for d in rows:
@@ -70,6 +80,12 @@ def main(*paths):
         "Measured on one chip, bf16 compute. `SoL` = fraction of the 197 TF/s",
         "bf16 roofline achieved (higher is better). `±std` = spread of the",
         "per-repeat loop-delta samples; `n` = repeats x in-jit iterations.",
+        "Each row is the best quiet measurement of that (model, batch, impl)",
+        "across sessions, so CROSS-IMPL gaps below the chip's session jitter",
+        "(~5-15% at serving batches) are not meaningful — dispatch decisions",
+        "use interleaved same-window A/Bs (tools/remeasure_rows.py,",
+        "tools/ab_t2t14_b32.py): t2t xla-vs-fused at b32 is a measured tie",
+        "for both t2t_7 and t2t_14; int8_static is the shipped best.",
         "Produced by",
         f"`tools/make_benchmarks_md.py` from `{'`, `'.join(raw_paths)}`.",
         "",
