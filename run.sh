@@ -58,8 +58,12 @@ function benchmark_pruned_grid() {
 
 function bench_gate() {
     # Regression gate: re-run the ~10 headline rows vs bench_headline.json,
-    # fail on >10% drift (verdict r2 #9).  Re-baseline: ./run.sh bench_gate --update
-    PYTHONPATH=.:$PYTHONPATH python tools/bench_gate.py $OPTIONS
+    # fail on >10% slow drift (verdict r2 #9); faster-than-tolerance only
+    # warns.  Rows also feed the sweep jsonl so the published table and the
+    # gate share measurements.  Re-baseline: ./run.sh bench_gate --update
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_gate.py \
+        --sweep-out bench_sweep_r3.jsonl $OPTIONS
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl BENCHMARKS.md
 }
 
 function remeasure() {

@@ -57,6 +57,34 @@ def test_gate_fails_on_drift_and_stale_rows(tmp_path, monkeypatch, capsys):
     assert gate.main(["--tolerance", "0.5"]) == 1
 
 
+def test_gate_fast_drift_warns_but_passes(tmp_path, monkeypatch, capsys):
+    """Faster-than-tolerance is not a regression (b1 rows land 10-30%
+    under baseline in lucky quiet windows) — warn + re-baseline hint,
+    exit 0."""
+    gate = _load_gate()
+    monkeypatch.setattr(gate, "BASELINE_PATH", tmp_path / "headline.json")
+    (tmp_path / "headline.json").write_text(
+        json.dumps(_rows({"a|b1|fused": 0.100})))
+    monkeypatch.setattr(gate, "measure_rows",
+                        lambda: _rows({"a|b1|fused": 0.080}))
+    assert gate.main([]) == 0
+    out = capsys.readouterr().out
+    assert "fast" in out and "re-baseline" in out
+
+
+def test_gate_sweep_out_appends_sweep_schema_rows(tmp_path, monkeypatch):
+    gate = _load_gate()
+    monkeypatch.setattr(gate, "BASELINE_PATH", tmp_path / "headline.json")
+    monkeypatch.setattr(gate, "measure_rows",
+                        lambda: _rows({"deit_tiny|b1|fused": 0.05}))
+    sweep = tmp_path / "sweep.jsonl"
+    assert gate.main(["--update", "--sweep-out", str(sweep)]) == 0
+    row = json.loads(sweep.read_text().strip())
+    assert row["name"] == "deit_tiny_fused" and row["impl"] == "fused"
+    assert row["ms"] == 0.05 and row["repeats"] == 5
+    assert row["img_per_s"] == 20000.0
+
+
 def test_gate_missing_baseline_writes_one(tmp_path, monkeypatch):
     gate = _load_gate()
     monkeypatch.setattr(gate, "BASELINE_PATH", tmp_path / "none.json")

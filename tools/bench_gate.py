@@ -66,15 +66,42 @@ def measure_rows():
     return rows
 
 
+SWEEP_SUFFIX = {"xla": "", "fused": "_fused", "int8": "_int8",
+                "int8_static": "_int8_static"}
+
+
+def append_sweep_rows(rows: dict, sweep_path: str) -> None:
+    """Feed this gate run's measurements into the sweep jsonl (the same
+    translation tools/headline_to_sweep.py does for the baseline file), so
+    every 5-repeat gate run also improves/confirms the published table."""
+    with open(sweep_path, "a") as fh:
+        for r in rows.values():
+            mode = r["kernel_mode"]
+            fh.write(json.dumps({
+                "name": r["model"] + SWEEP_SUFFIX[mode],
+                "batch": r["batch"],
+                "fused": mode != "xla",
+                "impl": "int8" if "int8" in mode else mode,
+                "ms": r["ms"],
+                "img_per_s": round(r["batch"] / (r["ms"] / 1e3), 1),
+                "std_ms": r["std_ms"], "repeats": r["repeats"],
+                "iters": r["iters"]}) + "\n")
+    print(f"appended {len(rows)} rows to {sweep_path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--tolerance", type=float, default=0.10,
                    help="max fractional drift of p50 vs baseline")
     p.add_argument("--update", action="store_true",
                    help="write this run as the new baseline")
+    p.add_argument("--sweep-out", default=None, metavar="JSONL",
+                   help="also append this run's rows to a sweep jsonl")
     args = p.parse_args(argv)
 
     rows = measure_rows()
+    if args.sweep_out:
+        append_sweep_rows(rows, args.sweep_out)
     if args.update or not BASELINE_PATH.exists():
         BASELINE_PATH.write_text(json.dumps(rows, indent=1) + "\n")
         print(f"baseline written: {BASELINE_PATH} ({len(rows)} rows)")
@@ -88,14 +115,28 @@ def main(argv=None):
             failures.append(f"{key}: no baseline row (run --update)")
             continue
         drift = row["ms"] / base["ms"] - 1.0
-        status = "ok" if abs(drift) <= args.tolerance else "FAIL"
+        # Asymmetric: slower than tolerance = regression = FAIL; faster
+        # than tolerance is not a regression — on this tunneled chip b1
+        # rows land 10-30% under the baseline in a lucky quiet window
+        # (e.g. deit_tiny b1 int8_static 0.0435 vs baseline 0.0493 at
+        # 5x960 quiet) — surface it as a re-baseline hint instead.
+        if drift > args.tolerance:
+            status = "FAIL"
+        elif drift < -args.tolerance:
+            status = "fast"
+        else:
+            status = "ok"
         print(f"{status:4s} {key}: {row['ms']:.4f} ms vs baseline "
               f"{base['ms']:.4f} ({drift:+.1%}, std {row['std_ms']:.4f}, "
               f"iters {row['iters']})")
-        if abs(drift) > args.tolerance:
+        if status == "FAIL":
             failures.append(
                 f"{key}: {row['ms']:.4f} ms drifted {drift:+.1%} from "
-                f"{base['ms']:.4f} (tolerance ±{args.tolerance:.0%})")
+                f"{base['ms']:.4f} (tolerance +{args.tolerance:.0%})")
+        elif status == "fast":
+            print(f"     ^ faster than baseline by more than "
+                  f"{args.tolerance:.0%} — if this repeats, re-baseline "
+                  f"with --update")
     for key in baseline:
         if key not in rows:
             failures.append(f"{key}: baseline row no longer measured "

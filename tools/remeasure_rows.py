@@ -16,8 +16,8 @@ normal sweep row; tools/make_benchmarks_md.py's fastest-quiet-p50 dedup
 then supersedes the stale rows.  Usage:
 
 Groups: t2t7 (b32 xla/fused/int8_static), t2t14 (same + b1
-fused-vs-int8_static), vit (rows lacking noise evidence), swin (b1
-int8_static).  Measure with repeats >= 4 and an otherwise idle host —
+fused-vs-int8_static), vit (rows lacking noise evidence), cnn (CNN anchor
+rows + pruned-xla fill), swin (b1 int8_static).  Measure with repeats >= 4 and an otherwise idle host —
 2-repeat rows are not noise evidence (see make_benchmarks_md.py) and a
 loaded host can corrupt whole rounds (a concurrent pytest run produced
 fused 12.3 ±5.9 and an xla 0.87 "quiet" undershoot in round 1 here).
@@ -156,6 +156,29 @@ def vit_fill(fh):
               (vs, sqs, xs), 2, "int8", iters=20)
 
 
+def cnn_fill(fh):
+    """CNN anchor rows + the one pruned-xla row still lacking noise
+    evidence: re-measure with repeats so every table row carries std."""
+    from edgevisiontransformer_tpu.models.cnn.zoo import get_cnn
+    from edgevisiontransformer_tpu.models.vit import ViT, pruned_vit_config
+
+    for name in ("mobilenet_v2", "mobilenet_v3_large", "efficientnet_b0",
+                 "resnet50", "inception_v3", "inception_resnet_v2",
+                 "shufflenet_v2"):
+        m = get_cnn(name)
+        size = 299 if "inception" in name else 224
+        x = jnp.ones((1, 3, size, size), DT)
+        v = m.init(jax.random.key(0), x)
+        bench(fh, name, 1, lambda vv, xx: m.apply(vv, xx), (v, x), 1,
+              "xla", iters=50)
+    cfg = pruned_vit_config("tiny", "all_head1_ffn1.0", dtype=DT)
+    m = ViT(cfg)
+    x = jnp.ones((1, 3, 224, 224), DT)
+    v = m.init(jax.random.key(0), x)
+    bench(fh, "pruned_deit_tiny@all_head1_ffn1.0", 1,
+          lambda vv, xx: m.apply(vv, xx), (v, x), 1, "xla", iters=150)
+
+
 def swin_b1(fh):
     from edgevisiontransformer_tpu.models.swin import (
         SwinTransformer,
@@ -179,7 +202,7 @@ def swin_b1(fh):
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "bench_sweep_r3.jsonl"
-    which = set(sys.argv[2:]) or {"t2t7", "t2t14", "vit", "swin"}
+    which = set(sys.argv[2:]) or {"t2t7", "t2t14", "vit", "cnn", "swin"}
     enable_compilation_cache()
     with open(out, "a") as fh:
         if "t2t7" in which:
@@ -188,6 +211,8 @@ def main():
             t2t14_b32(fh)
         if "vit" in which:
             vit_fill(fh)
+        if "cnn" in which:
+            cnn_fill(fh)
         if "swin" in which:
             swin_b1(fh)
 
