@@ -258,8 +258,12 @@ def quant_accuracy_cases(fh):
                        "--with-mse"]),
         ("deit_base", ["--batches", "4", "--calib-batches", "32",
                        "--with-mse"]),
+        ("deit_small", ["--batches", "4", "--calib-batches", "32",
+                        "--with-mse"]),
         ("t2t_vit_7", ["--batches", "4", "--calib-batches", "32",
                        "--with-mse"]),
+        ("t2t_vit_14", ["--batches", "4", "--calib-batches", "32",
+                        "--with-mse"]),
         # batch 1 rides the already-cached b1 whole-stage compiles (a b8
         # whole-model Swin compile would be its own ~13 min cache entry;
         # the mse mode reuses the static mode's HLO — scales are args)
