@@ -129,6 +129,32 @@ def t2t14_b32(fh):
               (v, sq, prep, x1), 3, "int8", iters=100)
 
 
+def t2t_rest(fh):
+    """int8_static b1 rows for the t2t variants the sweep doesn't
+    calibrate (10/12), completing the family's quant coverage."""
+    from edgevisiontransformer_tpu.models.t2t_vit import (
+        T2TViT,
+        fused_t2t_apply_int8,
+        prepare_t2t_fused,
+        prepare_t2t_int8_static,
+        t2t_vit_config,
+    )
+
+    for var in (10, 12):
+        m = T2TViT(t2t_vit_config(var, dtype=DT))
+        v = m.init(jax.random.key(0), jnp.ones((1, 3, 224, 224), DT))
+        prep = prepare_t2t_fused(m, v)
+        sq = prepare_t2t_int8_static(m, v, calib_batches=[
+            np.random.RandomState(i).randn(1, 3, 224, 224).astype("float32")
+            for i in range(8)])
+        x = jnp.ones((1, 3, 224, 224), DT)
+        for rnd in range(ROUNDS):
+            bench(fh, f"t2t_vit_{var}_int8_static", 1,
+                  lambda vv, qq, pp, xx: fused_t2t_apply_int8(
+                      m, vv, xx, qq, prepared=pp),
+                  (v, sq, prep, x), 3, "int8", iters=100)
+
+
 def vit_fill(fh):
     """Rows still rendering without noise evidence (legacy tier) or with a
     near-gate std: deit_base_fused b1, deit_small int8_static b128."""
@@ -209,6 +235,8 @@ def main():
             t2t7_b32(fh)
         if "t2t14" in which:
             t2t14_b32(fh)
+        if "t2t_rest" in which:
+            t2t_rest(fh)
         if "vit" in which:
             vit_fill(fh)
         if "cnn" in which:
