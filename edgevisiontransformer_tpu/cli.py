@@ -252,7 +252,14 @@ def cmd_benchmark_train(argv):
                    choices=["finetune", "sparse", "both"])
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--remat", action="store_true",
+                   help="per-block gradient rematerialization (memory for "
+                        "recompute; ViT-family models)")
+    p.add_argument("--report-memory", action="store_true",
+                   help="also report the compiled step's static HBM MB")
     args = p.parse_args(argv)
+
+    import dataclasses
 
     import numpy as np
     import optax
@@ -263,6 +270,12 @@ def cmd_benchmark_train(argv):
 
     enable_compilation_cache()
     model, in_shape = _build_model(args.model, args.style, args.dtype)
+    if args.remat:
+        from .models.vit import ViT
+
+        if not isinstance(model, ViT):
+            raise SystemExit("--remat currently applies to ViT-family models")
+        model = ViT(dataclasses.replace(model.config, remat=True))
     cfg = model.config
     x = jnp.asarray(np.random.RandomState(0).randn(args.batch, *in_shape),
                     jnp.dtype(args.dtype))
@@ -293,6 +306,11 @@ def cmd_benchmark_train(argv):
         r = measure_op_time(step, (params, opt_state, x, labels),
                             iters=args.iters, repeats=args.repeats,
                             chain_arg=2)
+        if args.report_memory:
+            from .bench.harness import compiled_mem_mb
+
+            r["hbm_mb"] = compiled_mem_mb(
+                jax.jit(step), (params, opt_state, x, labels))
         results["finetune"] = r
 
     if args.mode in ("sparse", "both"):
@@ -319,6 +337,13 @@ def cmd_benchmark_train(argv):
              labels, thr, jnp.float32(regu_mul)),
             iters=args.iters, repeats=args.repeats, chain_arg=4)
         r["mask_scores"] = n_scores
+        if args.report_memory:
+            from .bench.harness import compiled_mem_mb
+
+            r["hbm_mb"] = compiled_mem_mb(
+                jax.jit(step),
+                (params, scores, opt_p.init(params), opt_s.init(scores), x,
+                 labels, thr, jnp.float32(regu_mul)))
         results["sparse"] = r
 
     for mode, r in results.items():
@@ -1114,13 +1139,24 @@ def cmd_finetune(argv):
                    help="if set, lr *= n_dev*batch/512 (train_main.py:225-227)")
     p.add_argument("--resume-dir", default=None,
                    help="mid-training checkpoint dir (resume if present)")
+    p.add_argument("--remat", action="store_true",
+                   help="per-block gradient rematerialization (ViT family): "
+                        "memory-for-recompute at larger batch")
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
+
+    import dataclasses
 
     from .utils.checkpoint import load_checkpoint, save_checkpoint
     from .utils.finetune import FinetuneConfig, finetune
 
     model, in_shape = _build_model(args.model, args.style)
+    if args.remat:
+        from .models.vit import ViT
+
+        if not isinstance(model, ViT):
+            raise SystemExit("--remat currently applies to ViT-family models")
+        model = ViT(dataclasses.replace(model.config, remat=True))
     params = model.init(jax.random.key(0), jnp.ones((1,) + in_shape))
     if args.checkpoint:
         params = load_checkpoint(args.checkpoint, params)
@@ -1129,6 +1165,8 @@ def cmd_finetune(argv):
         lr=args.lr, optimizer=args.optimizer, epochs=args.epochs,
         max_steps=args.max_steps, grad_accum=args.grad_accum,
         lr_scale_batch=args.lr_scale_batch, checkpoint_dir=args.resume_dir,
+        # the CLI rebinds params and never reuses the caller tree — safe
+        donate=True,
     )
     params = finetune(model.apply, params, batches, fcfg)
     if args.output:

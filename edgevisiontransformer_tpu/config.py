@@ -71,6 +71,12 @@ class ViTConfig:
     # Kernel selection: "xla" = plain jnp (reference impl), "pallas" = fused.
     kernel_mode: str = "xla"
 
+    # Per-block gradient rematerialization (jax.checkpoint): training-side
+    # memory knob the reference lacks (its GPU stacks lean on DeepSpeed for
+    # memory; the TPU analogue is remat — trade one extra forward per block
+    # for not materializing block internals across the backward).
+    remat: bool = False
+
     # Compiled-transition modes (nn_pruning's Layer2NoNorm / GeLU2ReLU,
     # vendor nonorm.py:6-139 + gelu2relu.py:7-50): after a transition-schedule
     # sparse run is compiled, norms collapse to an affine (NoNorm) and GELUs

@@ -201,8 +201,13 @@ class ViT(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos_embedding.astype(cfg.dtype)
 
+        # cfg.remat: checkpoint each block so the backward rematerializes
+        # block internals one layer at a time (param tree is unchanged —
+        # nn.remat preserves module names).  train rides as a static arg.
+        block_cls = (nn.remat(EncoderBlock, static_argnums=(2,))
+                     if cfg.remat else EncoderBlock)
         for i in range(cfg.depth):
-            x = EncoderBlock(cfg, i, name=f"block_{i}")(x, train=train)
+            x = block_cls(cfg, i, name=f"block_{i}")(x, train)
 
         if cfg.final_norm:
             x = LayerNormP(cfg, name="final_norm")(x)

@@ -37,6 +37,12 @@ class FinetuneConfig:
     # Mid-training resume (a capability the reference lacks, SURVEY §5.4):
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 100
+    # Donate params/opt_state buffers to the step (halves their HBM
+    # watermark — XLA updates in place).  Opt-in: donation invalidates the
+    # CALLER's params object after the first step, so it is only safe when
+    # the caller rebinds (params = finetune(...)) and never reuses the
+    # original tree, as the CLI drivers do.
+    donate: bool = False
 
 
 def build_optimizer(cfg: FinetuneConfig) -> optax.GradientTransformation:
@@ -66,7 +72,8 @@ def finetune(
     """
     optimizer = build_optimizer(cfg)
     step_fn = jax.jit(make_train_step(apply_fn, optimizer, cross_entropy,
-                                      cfg.grad_accum))
+                                      cfg.grad_accum),
+                      donate_argnums=(0, 1) if cfg.donate else ())
     opt_state = optimizer.init(params)
 
     step = 0

@@ -108,6 +108,19 @@ function r3_pending() {
     bench_gate
 }
 
+function r4_pending() {
+    # Round-3 continuation queue: memory-footprint/init table (the
+    # reference's TFLite "Init / Peak memory footprint (MB)" lines),
+    # the int4 weight-streaming decision probe, and the remat training
+    # A/B rows (train_cases now includes deit_base b16/b64 --remat with
+    # --report-memory).
+    SWEEP=bench_sweep_r3.jsonl
+    PYTHONPATH=.:$PYTHONPATH python tools/memory_table.py $SWEEP
+    PYTHONPATH=.:$PYTHONPATH python tools/probe_int4.py || true
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=train
+    python tools/make_benchmarks_md.py $SWEEP BENCHMARKS.md
+}
+
 # --- profiling (reference --enable_op_profiling + analyse.py) ---------------
 
 function profile_deit() {

@@ -170,3 +170,44 @@ def test_finetune_checkpoint_resume(tmp_path):
     a = np.asarray(jax.tree.leaves(full)[0])
     b = np.asarray(jax.tree.leaves(resumed)[0])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_remat_grad_parity_and_param_tree():
+    """cfg.remat wraps each block in jax.checkpoint: identical param tree,
+    same gradients (rematerialized backward), so checkpoints/optimizers are
+    interchangeable between the two."""
+    cfg = _cfg()
+    model = ViT(cfg)
+    model_r = ViT(cfg.replace(remat=True))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 32, 32), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    paths = [jax.tree_util.keystr(k) for k, _ in
+             jax.tree_util.tree_flatten_with_path(
+                 model_r.init(jax.random.key(0), x))[0]]
+    paths0 = [jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_flatten_with_path(params)[0]]
+    assert paths == paths0
+
+    def loss(p, mod):
+        return jnp.sum(mod.apply(p, x).astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(loss)(params, model)
+    g1 = jax.grad(loss)(params, model_r)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_finetune_donate_matches_undonated():
+    """FinetuneConfig.donate=True (in-place param/opt buffers) reaches the
+    same weights as the default copy-through step."""
+    cfg = _cfg()
+    model = ViT(cfg)
+    params = model.init(jax.random.key(0), jnp.ones((1, 3, 32, 32)))
+    ref = finetune(model.apply, params, _batches(3),
+                   FinetuneConfig(lr=1e-2, max_steps=3), log=lambda s: None)
+    don = finetune(model.apply, jax.tree.map(jnp.copy, params), _batches(3),
+                   FinetuneConfig(lr=1e-2, max_steps=3, donate=True),
+                   log=lambda s: None)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(don)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

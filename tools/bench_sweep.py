@@ -226,21 +226,29 @@ def train_cases(fh):
     import io
 
     out = {}
-    for model, batch in (("deit_tiny", 64), ("deit_base", 16)):
+    for model, batch, extra in (
+        ("deit_tiny", 64, []),
+        ("deit_base", 16, []),
+        # remat A/B at base scale: step-time cost of trading activation
+        # memory for recompute (+ static HBM budget of both steps)
+        ("deit_base", 16, ["--remat"]),
+        ("deit_base", 64, ["--mode", "finetune"]),
+        ("deit_base", 64, ["--remat", "--mode", "finetune"]),
+    ):
+        key = f"{model}_b{batch}" + ("_remat" if "--remat" in extra else "")
         buf = io.StringIO()
         try:
             with contextlib.redirect_stdout(buf):
                 cmd_benchmark_train([
                     "--model", model, "--batch", str(batch),
-                    "--iters", "30", "--repeats", "3",
-                ])
-            out[f"{model}_b{batch}"] = json.loads(
-                buf.getvalue().strip().splitlines()[-1])
+                    "--iters", "30", "--repeats", "3", "--report-memory",
+                ] + extra)
+            out[key] = json.loads(buf.getvalue().strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001
             print(buf.getvalue())
             traceback.print_exc()
-            out[f"{model}_b{batch}"] = {"error": f"{type(e).__name__}: {e}"}
-        print(json.dumps({f"train {model} b{batch}": out[f"{model}_b{batch}"]}))
+            out[key] = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps({f"train {key}": out[key]}))
     log_line(fh, {"training_steps": out})
 
 

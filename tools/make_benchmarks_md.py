@@ -127,6 +127,28 @@ def main(*paths):
             msg = str(e["error"]).splitlines()[0][:200]
             lines.append(f"- `{e.get('name')}` b{e.get('batch')}: {msg}")
 
+    if "memory_footprint" in extras:
+        # Reference parity: the TFLite harness's "Init / Peak memory
+        # footprint (MB)" lines (README.md:53-65).  Static HBM budget of
+        # the compiled executable; init_s = cached trace+compile wall.
+        lines += [
+            "", "## memory_footprint", "",
+            "Static HBM footprint of the compiled executable (exact for",
+            "static shapes; the tunneled backend exposes no allocator",
+            "stats) + trace/compile wall with the persistent cache warm —",
+            "the reference's init + peak-memory lines. `tools/memory_table.py`.",
+            "",
+            "| model/impl | args MB | out MB | temp MB | code MB | total MB | init s |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for k, v in extras["memory_footprint"].items():
+            if not isinstance(v, dict):
+                lines.append(f"| {k} | error: {v} | | | | | |")
+                continue
+            lines.append(
+                f"| {k} | {v['args_mb']} | {v['out_mb']} | {v['temp_mb']} | "
+                f"{v['code_mb']} | {v['total_mb']} | {v['init_s']} |")
+
     for key in ("training_steps", "quant_accuracy", "quant_op_sweep",
                 "fusion_ab", "micro_models_b1", "micro_models_b128",
                 "latency_predictor"):
