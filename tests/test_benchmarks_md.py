@@ -116,3 +116,23 @@ def test_error_rows_superseded_by_later_success(tmp_path):
     ])
     assert "tunnel down" not in md
     assert "## Errors" in md and "only_failed" in md
+
+
+def test_memory_footprint_renders_as_table(tmp_path):
+    """The memory_footprint extras record (tools/memory_table.py) renders as
+    a markdown table — the reference's TFLite init/peak-memory lines."""
+    md = _render(tmp_path, [
+        {"name": "deit_tiny", "batch": 1, "fused": False, "impl": "xla",
+         "ms": 0.089, "img_per_s": 11237, "std_ms": 0.002, "repeats": 3,
+         "iters": 100},
+        {"memory_footprint": {
+            "deit_tiny_b1_int8_static": {
+                "args_mb": 7.4, "out_mb": 0.004, "temp_mb": 0.0,
+                "code_mb": 3.91, "total_mb": 11.31, "init_s": 8.76},
+            "error:swin_rows": "RuntimeError: tunnel down",
+        }},
+    ])
+    assert "## memory_footprint" in md
+    assert ("| deit_tiny_b1_int8_static | 7.4 | 0.004 | 0.0 | 3.91 | 11.31 "
+            "| 8.76 |") in md
+    assert "error: RuntimeError: tunnel down" in md
