@@ -188,6 +188,27 @@ PYEOF
         --encoding "h_2_d_0.5-h_2_d_0.5-h_1_d_0.3-h_1_d_0.3-h_3_d_0.7-h_2_d_0.5-h_2_d_0.5-h_1_d_1.0-h_1_d_0.3-h_2_d_0.3-h_3_d_1.0-h_1_d_0.5"
 }
 
+function latency_predictor_small() {
+    # second model size (deit_small, 6 heads/layer): shows the predictor
+    # pipeline generalizes beyond tiny; 60 configs (each pruned shape is
+    # its own segmented-kernel compile — the budgeted compromise)
+    $CLI latency_model collect --size small --n 60 --output latency_small.csv
+    $CLI latency_model fit --data latency_small.csv --output latency_small.pkl \
+        --max-noise 0.05 | tee /tmp/lat_fit_small.out
+    PYTHONPATH=.:$PYTHONPATH python - <<'PYEOF'
+import json
+metrics = None
+for line in open("/tmp/lat_fit_small.out"):
+    line = line.strip()
+    if line.startswith("{"):
+        metrics = json.loads(line)
+if metrics:
+    with open("bench_sweep_r3.jsonl", "a") as f:
+        f.write(json.dumps({"latency_predictor_small": metrics}) + "\n")
+    print("metrics appended to bench_sweep_r3.jsonl")
+PYEOF
+}
+
 if [ -z "$TASK" ] || ! declare -f "$TASK" > /dev/null; then
     echo "usage: ./run.sh <task> [extra args]"
     echo "tasks:"; declare -F | awk '{print "  " $3}'
