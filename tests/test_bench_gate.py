@@ -92,3 +92,25 @@ def test_gate_missing_baseline_writes_one(tmp_path, monkeypatch):
                         lambda: _rows({"a|b1|fused": 0.1}))
     assert gate.main([]) == 0  # first run bootstraps the baseline
     assert (tmp_path / "none.json").exists()
+
+
+def test_probe_int4_pack_roundtrip():
+    """tools/probe_int4.py nibble packing: pairs (j, j+n/2) per byte so the
+    [hi, lo] concat unpack restores natural column order exactly."""
+    import importlib.util
+    import pathlib
+
+    import numpy as np
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "probe_int4", root / "tools" / "probe_int4.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.RandomState(3)
+    w = rng.randint(-8, 8, (32, 20)).astype(np.int8)
+    packed = np.asarray(mod.pack_nibbles(w))
+    assert packed.shape == (32, 10)
+    unpacked = np.asarray(mod.unpack_nibbles(packed))
+    np.testing.assert_array_equal(unpacked, w)
