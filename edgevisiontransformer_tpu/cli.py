@@ -1280,6 +1280,12 @@ def cmd_latency_model(argv):
     p.add_argument("--max-noise", type=float, default=None,
                    help="fit: drop rows whose measured std_ms/ms exceeds "
                         "this fraction (needs the collect noise columns)")
+    p.add_argument("--features", default="physical",
+                   choices=["raw", "physical"],
+                   help="fit: featurization — 'raw' is the reference-parity "
+                        "per-layer (h, d) vector; 'physical' derives "
+                        "MACs/weight-bytes/segment features from --size "
+                        "(measurably more accurate; the default)")
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
 
@@ -1342,15 +1348,27 @@ def cmd_latency_model(argv):
                       f"{args.max_noise:g} or missing std "
                       "(own-noise-floor gate)")
                 rows = kept
-        pred = LatencyPredictor()
+        pred = LatencyPredictor(features=args.features, size=args.size)
         encs = [r["encoding"] for r in rows]
         ys = [float(r["ms"]) for r in rows]
+        if args.features == "physical":
+            # catch a forgotten --size: a config can't have more heads than
+            # the size's native head count
+            from .utils.latency_model import parse_features as _pf
+            native = {"tiny": 3, "small": 6, "base": 12}[args.size]
+            seen = max(int(h) for e in encs for h in _pf(e)[0::2])
+            if seen > native:
+                raise SystemExit(
+                    f"--features physical with --size {args.size} "
+                    f"(max {native} heads) but the data has configs with "
+                    f"{seen} heads — pass the right --size")
         metrics = pred.fit(encs, ys)
         out = args.output or "latency_model.pkl"
         pred.save(out)
         if metrics:
             rmse, rmspe, rel, a5, a10, a15 = metrics
             rec = {
+                "features": args.features,
                 "rmse": rmse, "rmspe_pct": rmspe, "rel_rmse": rel,
                 "acc_5pct": a5, "acc_10pct": a10, "acc_15pct": a15,
             }

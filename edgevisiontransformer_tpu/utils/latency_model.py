@@ -35,6 +35,52 @@ def format_features(heads: Sequence[int], densities: Sequence[float]) -> str:
     return "-".join(f"h_{h}_d_{d:g}" for h, d in zip(heads, densities))
 
 
+# (dim, base mlp_dim) per DeiT size for the physical featurizer — kept in
+# sync with models.vit._DEIT_SHAPES via tests/test_aux.py
+_SIZE_SHAPES = {
+    "tiny": (192, 768),
+    "small": (384, 1536),
+    "base": (768, 3072),
+}
+_HEAD_DIM = 64
+_N_TOKENS = 197  # 14x14 patches + cls
+
+
+def physical_features(encoding: str, size: str) -> List[float]:
+    """Derived cost-model features for one pruned config.
+
+    The reference fits its RF on the raw per-layer (heads, density) vector
+    (latency_model.py:27-36) — 24 features whose additive structure the
+    forest must *learn*.  On small collected datasets (60 configs) that
+    caps accuracy: deit_base raw-feature CV acc@10% measured 0.58.  Giving
+    the model the physical quantities latency is actually made of — summed
+    attention/MLP MACs, weight bytes, the segmented-kernel compile shape
+    (uniform-run count), and the per-layer weight sizes that gate the
+    fused-kernel variant choice (weights-resident <=12 MB VMEM,
+    MLP-blocked >16 MB; ops/pallas/fused_encoder.py) — lifts the same
+    dataset to CV acc@10% 0.93 / acc@15% 0.97 (and tiny/small to 1.0 at
+    10%); measured A/B in BENCHMARKS latency_predictor_base.
+    """
+    dim, mlp_base = _SIZE_SHAPES[size]
+    f = parse_features(encoding)
+    hs = np.asarray(f[0::2])
+    mlps = np.rint(np.asarray(f[1::2]) * mlp_base)
+    att_macs = hs * _HEAD_DIM * dim * 4          # qkv + out-proj per token
+    sdpa_macs = hs * _HEAD_DIM * _N_TOKENS * 2   # qk^T + pv per token
+    mlp_macs = 2 * dim * mlps                    # fc1 + fc2 per token
+    per_layer_w = 2.0 * (4 * hs * _HEAD_DIM * dim + 2 * dim * mlps)  # bf16
+    segments = 1 + int(np.sum(
+        (hs[1:] != hs[:-1]) | (mlps[1:] != mlps[:-1])))
+    return [
+        float(att_macs.sum()), float(sdpa_macs.sum()),
+        float(mlp_macs.sum()), float(per_layer_w.sum()),
+        float(per_layer_w.max()), float(segments),
+        float(hs.sum()), float(mlps.sum()),
+        float((per_layer_w > 12 * 2 ** 20).sum()),   # weights-resident gate
+        float((per_layer_w > 16 * 2 ** 20).sum()),   # MLP-blocked gate
+    ]
+
+
 def accuracy_within(y_pred, y_true, threshold: float) -> float:
     rel = np.abs((np.asarray(y_true) - np.asarray(y_pred)) / np.asarray(y_true))
     return float(np.mean(rel <= threshold))
@@ -71,11 +117,23 @@ def sample_random_configs(
 
 
 class LatencyPredictor:
-    """RandomForest latency model over the (h, d) feature DSL."""
+    """RandomForest latency model over the (h, d) feature DSL.
 
-    def __init__(self, **rf_kwargs):
+    ``features="raw"`` is the reference-parity featurization (flat per-layer
+    h/d vector); ``features="physical"`` (needs ``size``) derives the
+    cost-model features from :func:`physical_features` — measurably more
+    accurate on every collected dataset (see its docstring).
+    """
+
+    def __init__(self, features: str = "raw", size: Optional[str] = None,
+                 **rf_kwargs):
         from sklearn.ensemble import RandomForestRegressor
 
+        if features not in ("raw", "physical"):
+            raise ValueError(f"unknown featurization {features!r}")
+        if features == "physical" and size not in _SIZE_SHAPES:
+            raise ValueError("features='physical' needs size in "
+                             f"{sorted(_SIZE_SHAPES)}, got {size!r}")
         defaults = dict(
             max_depth=70, n_estimators=320, min_samples_leaf=1,
             min_samples_split=2, max_features=1.0, oob_score=False,
@@ -83,13 +141,20 @@ class LatencyPredictor:
         )
         defaults.update(rf_kwargs)
         self.model = RandomForestRegressor(**defaults)
+        self.features = features
+        self.size = size
         self.fitted = False
+
+    def _featurize(self, encoding: str) -> List[float]:
+        if self.features == "physical":
+            return physical_features(encoding, self.size)
+        return parse_features(encoding)
 
     def fit(self, encodings: Sequence[str], latencies_ms: Sequence[float],
             test_size: float = 0.2):
         from sklearn.model_selection import train_test_split
 
-        X = [parse_features(e) for e in encodings]
+        X = [self._featurize(e) for e in encodings]
         y = list(latencies_ms)
         metrics = None
         if test_size and len(X) >= 5:
@@ -112,7 +177,7 @@ class LatencyPredictor:
         from sklearn.base import clone
         from sklearn.model_selection import KFold
 
-        X = np.asarray([parse_features(e) for e in encodings])
+        X = np.asarray([self._featurize(e) for e in encodings])
         y = np.asarray(list(latencies_ms), np.float64)
         preds = np.empty_like(y)
         for tr, te in KFold(n_splits=k, shuffle=True,
@@ -123,17 +188,26 @@ class LatencyPredictor:
         return lat_metrics(preds, y)
 
     def predict(self, encoding: str) -> float:
-        return float(self.model.predict([parse_features(encoding)])[0])
+        return float(self.model.predict([self._featurize(encoding)])[0])
 
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
-            pickle.dump(self.model, f)
+            pickle.dump({"model": self.model, "features": self.features,
+                         "size": self.size}, f)
 
     @classmethod
     def load(cls, path: str) -> "LatencyPredictor":
         obj = cls.__new__(cls)
         with open(path, "rb") as f:
-            obj.model = pickle.load(f)
+            payload = pickle.load(f)
+        if isinstance(payload, dict):
+            obj.model = payload["model"]
+            obj.features = payload.get("features", "raw")
+            obj.size = payload.get("size")
+        else:  # pre-featurization pickles: a bare sklearn model, raw mode
+            obj.model = payload
+            obj.features = "raw"
+            obj.size = None
         obj.fitted = True
         return obj
 

@@ -171,7 +171,7 @@ function latency_predictor() {
     # BENCHMARKS.md via the sweep jsonl
     $CLI latency_model collect --size tiny --n 100 --output latency_tiny.csv
     $CLI latency_model fit --data latency_tiny.csv --output latency_tiny.pkl \
-        --max-noise 0.05 | tee /tmp/lat_fit.out
+        --size tiny --max-noise 0.05 | tee /tmp/lat_fit.out
     PYTHONPATH=.:$PYTHONPATH python - <<'PYEOF'
 import json
 metrics = None
@@ -188,25 +188,43 @@ PYEOF
         --encoding "h_2_d_0.5-h_2_d_0.5-h_1_d_0.3-h_1_d_0.3-h_3_d_0.7-h_2_d_0.5-h_2_d_0.5-h_1_d_1.0-h_1_d_0.3-h_2_d_0.3-h_3_d_1.0-h_1_d_0.5"
 }
 
-function latency_predictor_small() {
-    # second model size (deit_small, 6 heads/layer): shows the predictor
-    # pipeline generalizes beyond tiny; 60 configs (each pruned shape is
-    # its own segmented-kernel compile — the budgeted compromise)
-    $CLI latency_model collect --size small --n 60 --output latency_small.csv
-    $CLI latency_model fit --data latency_small.csv --output latency_small.pkl \
-        --max-noise 0.05 | tee /tmp/lat_fit_small.out
-    PYTHONPATH=.:$PYTHONPATH python - <<'PYEOF'
-import json
+function latency_predictor_size() {
+    # predictor for another model size (small: 6 heads, base: 12 heads):
+    # shows the pipeline generalizes beyond tiny; 60 configs (each pruned
+    # shape is its own segmented-kernel compile — the budgeted compromise)
+    SIZE=${2:-small}
+    $CLI latency_model collect --size $SIZE --n 60 --output latency_$SIZE.csv
+    $CLI latency_model fit --data latency_$SIZE.csv --size $SIZE \
+        --output latency_$SIZE.pkl --max-noise 0.05 | tee /tmp/lat_fit_sz.out
+    PYTHONPATH=.:$PYTHONPATH SIZE=$SIZE python - <<'PYEOF'
+import json, os
 metrics = None
-for line in open("/tmp/lat_fit_small.out"):
+for line in open("/tmp/lat_fit_sz.out"):
     line = line.strip()
     if line.startswith("{"):
         metrics = json.loads(line)
 if metrics:
+    key = "latency_predictor_" + os.environ["SIZE"]
     with open("bench_sweep_r3.jsonl", "a") as f:
-        f.write(json.dumps({"latency_predictor_small": metrics}) + "\n")
+        f.write(json.dumps({key: metrics}) + "\n")
     print("metrics appended to bench_sweep_r3.jsonl")
 PYEOF
+}
+
+function latency_predictor_small() {
+    latency_predictor_size _ small
+}
+
+function latency_predictor_base() {
+    latency_predictor_size _ base
+}
+
+function data_pipeline() {
+    # host-side JPEG decode + preprocess throughput (python-PIL vs native
+    # C++ hot loop vs native+workers); CPU-only, appends to the sweep jsonl
+    PYTHONPATH=.:$PYTHONPATH python tools/data_pipeline_bench.py \
+        bench_sweep_r3.jsonl
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl BENCHMARKS.md
 }
 
 if [ -z "$TASK" ] || ! declare -f "$TASK" > /dev/null; then

@@ -8,11 +8,13 @@ from edgevisiontransformer_tpu.bench.experiments import (
     prune_benchmark_grid,
 )
 from edgevisiontransformer_tpu.utils.latency_model import (
+    _SIZE_SHAPES,
     LatencyPredictor,
     collect_latency_dataset,
     format_features,
     lat_metrics,
     parse_features,
+    physical_features,
     sample_random_configs,
 )
 from edgevisiontransformer_tpu.utils.logscrape import (
@@ -57,6 +59,82 @@ def test_latency_predictor_save_load(tmp_path):
     m.save(p)
     m2 = LatencyPredictor.load(p)
     assert m2.predict(encs[0]) == pytest.approx(m.predict(encs[0]))
+
+
+def test_size_shapes_in_sync_with_vit():
+    # the physical featurizer's (dim, mlp_dim) table must track the model
+    # library's canonical DeiT shapes (latency_model._SIZE_SHAPES docstring)
+    from edgevisiontransformer_tpu.models.vit import _DEIT_SHAPES
+
+    for size, (dim, mlp) in _SIZE_SHAPES.items():
+        shape = _DEIT_SHAPES[size]
+        assert (dim, mlp) == (shape["dim"], shape["mlp_dim"]), size
+
+
+def test_physical_features_sanity():
+    uniform = format_features([3] * 12, [1.0] * 12)
+    f = physical_features(uniform, "tiny")
+    assert len(f) == 10
+    assert f[5] == 1.0  # uniform config -> one segmented-kernel run
+    # alternating heads -> a segment boundary at every layer
+    alt = format_features([1, 3] * 6, [1.0] * 12)
+    assert physical_features(alt, "tiny")[5] == 12.0
+    # more heads -> strictly more attention MACs and weight bytes
+    bigger = format_features([3] * 12, [1.0] * 12)
+    smaller = format_features([1] * 12, [1.0] * 12)
+    fb, fs = (physical_features(e, "tiny") for e in (bigger, smaller))
+    assert fb[0] > fs[0] and fb[3] > fs[3]
+    # base at full density crosses the 12 MB weights-resident gate per layer
+    full_base = format_features([12] * 12, [1.0] * 12)
+    assert physical_features(full_base, "base")[8] == 12.0
+
+
+def test_latency_predictor_physical_save_load(tmp_path):
+    encs = sample_random_configs(30, depth=12, max_heads=3)
+    ys = [1.0 + 0.1 * sum(parse_features(e)[0::2]) for e in encs]
+    m = LatencyPredictor(features="physical", size="tiny", n_estimators=10)
+    m.fit(encs, ys, test_size=0)
+    p = str(tmp_path / "lat_phys.pkl")
+    m.save(p)
+    m2 = LatencyPredictor.load(p)
+    assert m2.features == "physical" and m2.size == "tiny"
+    assert m2.predict(encs[0]) == pytest.approx(m.predict(encs[0]))
+    # legacy pickles (bare sklearn model) load as raw-feature predictors
+    import pickle
+
+    raw = LatencyPredictor(n_estimators=5)
+    raw.fit(encs, ys, test_size=0)
+    legacy = str(tmp_path / "legacy.pkl")
+    with open(legacy, "wb") as f:
+        pickle.dump(raw.model, f)
+    m3 = LatencyPredictor.load(legacy)
+    assert m3.features == "raw"
+    assert m3.predict(encs[0]) == pytest.approx(raw.predict(encs[0]))
+
+
+def test_latency_predictor_physical_needs_valid_size():
+    with pytest.raises(ValueError):
+        LatencyPredictor(features="physical")
+    with pytest.raises(ValueError):
+        LatencyPredictor(features="bogus")
+
+
+def test_cli_fit_rejects_wrong_size(tmp_path):
+    # --features physical --size tiny on a dataset with 6-head configs
+    # must fail loudly (cli.py fit guard)
+    from edgevisiontransformer_tpu.cli import cmd_latency_model
+
+    csv_path = tmp_path / "d.csv"
+    rows = ["encoding,ms,std_ms,iters"]
+    encs = sample_random_configs(5, depth=12, max_heads=6, seed=3)
+    encs.append(format_features([6] * 12, [1.0] * 12))  # ensure a 6-head row
+    for e in encs:
+        rows.append(f"{e},0.5,0.001,100")
+    csv_path.write_text("\n".join(rows) + "\n")
+    with pytest.raises(SystemExit):
+        cmd_latency_model(["fit", "--data", str(csv_path), "--size", "tiny",
+                           "--features", "physical",
+                           "--output", str(tmp_path / "m.pkl")])
 
 
 def test_collect_latency_dataset():

@@ -151,7 +151,8 @@ def main(*paths):
 
     for key in ("training_steps", "quant_accuracy", "quant_op_sweep",
                 "fusion_ab", "micro_models_b1", "micro_models_b128",
-                "latency_predictor", "latency_predictor_small"):
+                "latency_predictor", "latency_predictor_small",
+                "latency_predictor_base", "data_pipeline"):
         if key in extras:
             lines += ["", f"## {key}", "", "```json",
                       json.dumps(extras[key], indent=2), "```"]
