@@ -156,9 +156,12 @@ class WindowAttention(nn.Module):
         head_dim = self.dim // self.heads
         scale = head_dim**-0.5
 
-        if self.is_mutable_collection("acts"):
+        if (self.is_mutable_collection("acts")
+                and not self.is_initializing()):
             # static-int8 calibration pass: per-tensor absmax of every
-            # matmul INPUT (the whole-stage kernel's quant points)
+            # matmul INPUT (the whole-stage kernel's quant points).  The
+            # is_initializing guard keeps the collection out of model.init
+            # output (it would break checkpoint-restore structure matching).
             self.sow("acts", "qkv_in_absmax",
                      jnp.max(jnp.abs(x.astype(jnp.float32))))
         if (self.is_mutable_collection("acts_full")
@@ -223,7 +226,8 @@ class WindowAttention(nn.Module):
 
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, self.dim)
-        if self.is_mutable_collection("acts"):
+        if (self.is_mutable_collection("acts")
+                and not self.is_initializing()):
             self.sow("acts", "proj_in_absmax",
                      jnp.max(jnp.abs(out.astype(jnp.float32))))
         if (self.is_mutable_collection("acts_full")
@@ -278,7 +282,8 @@ class SwinBlock(nn.Module):
         w2 = self.param("mlp_fc2_kernel", nn.initializers.xavier_uniform(), (hidden, c), cfg.param_dtype)
         bb2 = self.param("mlp_fc2_bias", nn.initializers.zeros_init(), (c,), cfg.param_dtype)
         xn = layer_norm(x, g2, b2, cfg.layernorm_eps)
-        if self.is_mutable_collection("acts"):
+        if (self.is_mutable_collection("acts")
+                and not self.is_initializing()):
             # calibration: fc1 input + (recomputed) post-GELU fc2 input;
             # only traced when the "acts" collection is mutable
             self.sow("acts", "fc1_in_absmax",

@@ -426,7 +426,10 @@ def _calibrate_encoder(embed_fn, model, variables, batches=None, n: int = 100,
                 for key in VIT_ACT_KEYS:
                     a = acts[f"block_{i}/{key}"].astype(jnp.float32)
                     j = VIT_ACT_KEYS.index(key)
-                    s = amax[i, j] * ratios / 127.0  # [R]
+                    # zero guard (same as calibrate_swin's leaf_mse): an
+                    # all-zero activation would make every candidate MSE
+                    # NaN via 0/0 and poison the argmin
+                    s = jnp.maximum(amax[i, j], 1e-30) * ratios / 127.0  # [R]
                     q = jnp.clip(jnp.round(a[..., None] / s), -127, 127) * s
                     cols.append(jnp.mean(
                         jnp.square(a[..., None] - q),

@@ -249,6 +249,4 @@ def bench_row_flops(name: str):
         heads = int(toks[1].replace("head", ""))
         ffn_keep = float(toks[2].replace("ffn", ""))
         return pruned_deit_flops(size, heads, 1.0 - ffn_keep)
-    if base.startswith("deit_tiny_fused_npad"):
-        return MODEL_FLOPS["deit_tiny"]
     return MODEL_FLOPS.get(base)

@@ -232,4 +232,6 @@ if [ -z "$TASK" ] || ! declare -f "$TASK" > /dev/null; then
     echo "tasks:"; declare -F | awk '{print "  " $3}'
     exit 1
 fi
-$TASK
+# forward the script's argv so functions can read positionals ($2 etc.,
+# e.g. latency_predictor_size) in addition to the $OPTIONS global
+$TASK "$@"

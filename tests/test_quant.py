@@ -128,6 +128,25 @@ def test_calibrate_vit_shapes_and_consistency():
         float(jnp.max(jnp.abs(acts["block_0/qkv_in"]))) / 127, rel=1e-5)
 
 
+def test_calibrate_vit_mse_survives_zero_activation():
+    # an all-zero matmul input (here: fc1 kernel+bias zeroed -> fc2_in ==
+    # gelu(0) == 0) must not poison the MSE clip search with 0/0 NaNs;
+    # the zero column falls back to scale 1.0 like the absmax path
+    import flax
+
+    from edgevisiontransformer_tpu.ops.quant import calibrate_vit
+
+    model, params, x = _tiny_model()
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    flat = {k: (jnp.zeros_like(v) if "fc1" in "_".join(map(str, k)) else v)
+            for k, v in flat.items()}
+    p0 = {"params": flax.traverse_util.unflatten_dict(flat)}
+    scales = calibrate_vit(model, p0, batches=[np.asarray(x)], method="mse")
+    assert np.isfinite(scales).all() and (scales > 0).all()
+    # fc2_in is the zeroed column: VIT_ACT_KEYS order has it at index 3
+    assert scales[0, 3] == 1.0
+
+
 def test_calibrate_vit_mse_clip_search():
     """method="mse" picks per-tensor clips from ratio*absmax (ratio in
     MSE_CLIP_RATIOS) minimizing calibration-set quantization MSE — never

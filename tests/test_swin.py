@@ -71,6 +71,19 @@ def test_swin_forward_small(image_size):
     assert jnp.isfinite(y).all()
 
 
+def test_swin_init_has_no_calibration_collections(image_size=56):
+    # the calibration sows ("acts"/"acts_full") must not leak into
+    # model.init output: checkpoint restore targets are built from init
+    # and a pre-calibration checkpoint would fail structure matching
+    cfg = swin_config("tiny").replace(
+        image_size=image_size, depths=(1, 2), num_heads=(3, 6), num_classes=10
+    )
+    model = SwinTransformer(cfg)
+    x = jnp.ones((1, 3, image_size, image_size))
+    variables = model.init(jax.random.key(0), x)
+    assert set(variables) <= {"params", "constants"}, sorted(variables)
+
+
 def test_swin_tiny_full_shapes():
     cfg = swin_config("tiny")
     model = SwinTransformer(cfg)

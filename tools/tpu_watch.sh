@@ -19,4 +19,6 @@ done
 echo "[tpu_watch] running: $TASK"
 set -o pipefail  # report run.sh's exit code, not tee's
 ./run.sh $TASK 2>&1 | tee /tmp/tpu_watch_task.log
-echo "[tpu_watch] $TASK DONE rc=$? at $(date)"
+rc=$?
+echo "[tpu_watch] $TASK DONE rc=$rc at $(date)"
+exit $rc
