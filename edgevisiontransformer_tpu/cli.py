@@ -471,7 +471,13 @@ def cmd_convert(argv):
                    help="int8: activation-clip calibration — absmax "
                         "(reference min/max semantics) or mse (offline "
                         "MSE-optimal clip search; tighter logit drift)")
+    p.add_argument("--smooth-alpha", type=float, default=None,
+                   help="int8 (ViT/T2T): SmoothQuant-style offline scale "
+                        "migration before calibration, with this strength "
+                        "(exact float re-parameterization; try 0.5)")
     args = p.parse_args(argv)
+    if args.smooth_alpha is not None and args.quantization != "int8":
+        raise SystemExit("--smooth-alpha applies to --quantization int8 only")
 
     from .ops.quant import cast_params, quantize_vit_params_int8
     from .utils.checkpoint import load_checkpoint, save_checkpoint
@@ -503,6 +509,9 @@ def cmd_convert(argv):
             if args.calib_percentile is not None:
                 raise SystemExit("swin calibration records absmax only "
                                  "(--calib-percentile is ViT/T2T-only)")
+            if args.smooth_alpha is not None:
+                raise SystemExit("--smooth-alpha is ViT/T2T-only (no Swin "
+                                 "channel-max collector yet)")
             from .cache import enable_compilation_cache
 
             enable_compilation_cache()
@@ -550,7 +559,15 @@ def cmd_convert(argv):
 
         enable_compilation_cache()
 
-        calibrate = calibrate_t2t if isinstance(model, _T2T) else calibrate_vit
+        is_t2t = isinstance(model, _T2T)
+        if args.smooth_alpha is not None:
+            from .ops.quant import smooth_t2t, smooth_vit
+
+            params = (smooth_t2t if is_t2t else smooth_vit)(
+                model, params, n=args.calib_batches, alpha=args.smooth_alpha)
+            meta["smooth_alpha"] = args.smooth_alpha
+            print(f"smoothed encoder params (alpha={args.smooth_alpha})")
+        calibrate = calibrate_t2t if is_t2t else calibrate_vit
         scales = calibrate(model, params, n=args.calib_batches,
                            percentile=args.calib_percentile,
                            method=args.calib_method)
@@ -580,6 +597,12 @@ def cmd_quant_accuracy(argv):
     p.add_argument("--with-mse", action="store_true",
                    help="add a static_int8_mse row (MSE-optimal clip "
                         "calibration; ViT/T2T families)")
+    p.add_argument("--with-smooth", action="store_true",
+                   help="add a static_int8_smooth row (SmoothQuant-style "
+                        "offline scale migration before calibration; "
+                        "ViT/T2T families)")
+    p.add_argument("--smooth-alpha", type=float, default=0.5,
+                   help="migration strength for --with-smooth (0..1)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -661,6 +684,11 @@ def cmd_quant_accuracy(argv):
         if args.with_mse:
             modes["static_int8_mse"] = _swin_mode(prepare_swin_int8_static(
                 model_bf, pbf16, n=args.calib_batches, method="mse"))
+        if args.with_smooth:
+            raise SystemExit("--with-smooth targets the ViT/T2T families "
+                             "(no Swin channel-max collector yet; the fold "
+                             "itself would be valid — window partition "
+                             "permutes tokens, not channels)")
     else:
         is_t2t = isinstance(model, _T2T)
         calibrate = calibrate_t2t if is_t2t else calibrate_vit
@@ -690,6 +718,25 @@ def cmd_quant_accuracy(argv):
             qmse = quantize_vit_params_int8_static(params, scales_mse)
             modes["static_int8_mse"] = functools.partial(
                 jax.jit(lambda q_, x: apply_stat(model, q_, x)), qmse)
+        if args.with_smooth:
+            # SmoothQuant-style: fold migration scales (exact float
+            # re-parameterization), then the normal calibrate -> quantize
+            # pipeline over the smoothed tree.  Same runtime kernels.
+            from .ops.quant import smooth_t2t, smooth_vit
+
+            smooth = smooth_t2t if is_t2t else smooth_vit
+            psm = smooth(model, params, n=args.calib_batches,
+                         alpha=args.smooth_alpha)
+            qsm = quantize_vit_params_int8_static(
+                psm, calibrate(model, psm, n=args.calib_batches))
+            modes["static_int8_smooth"] = functools.partial(
+                jax.jit(lambda q_, x: apply_stat(model, q_, x)), qsm)
+            if args.with_mse:
+                qsm2 = quantize_vit_params_int8_static(
+                    psm, calibrate(model, psm, n=args.calib_batches,
+                                   method="mse"))
+                modes["static_int8_smooth_mse"] = functools.partial(
+                    jax.jit(lambda q_, x: apply_stat(model, q_, x)), qsm2)
     # fp32 oracle on the HOST backend: committing params to CPU pins the jit
     # there (uncommitted numpy inputs follow).  Matches the reference's
     # host-TF-fp32 vs device-TFLite comparison (D1118), and avoids a

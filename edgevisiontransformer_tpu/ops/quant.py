@@ -554,3 +554,159 @@ def representative_batches(n: int = 100, batch: int = 1, shape=(3, 224, 224), se
     rng = np.random.RandomState(seed)
     for _ in range(n):
         yield rng.randn(batch, *shape).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# SmoothQuant-style offline scale migration (static-int8 preprocessing)
+# ---------------------------------------------------------------------------
+
+# Matmul inputs whose per-channel outlier spread can be migrated into the
+# weights by an EXACT float refactoring:
+#   qkv_in, fc1_in — produced by a LayerNorm, so a per-channel 1/s folds into
+#     the LN scale/bias (valid only when the LN output feeds ONLY the matmul,
+#     i.e. standard residual; the reference-quirk residual reuses LN(x) as
+#     the skip, models/vit.py pre-norm quirk, so those folds are gated off);
+#   out_in — the merged attention context; channel c is v-channel c (softmax
+#     mixes tokens, not channels), so 1/s folds into the v-section columns of
+#     the fused qkv kernel (+ bias) and s into the out_kernel rows — valid in
+#     BOTH residual modes.
+# fc2_in sits behind the GELU (nonlinear), so it cannot be folded and is left
+# to the clip calibrators.
+SMOOTH_KEYS = ("qkv_in", "out_in", "fc1_in")
+
+
+def _collect_channel_maxes(embed_fn, model, variables, batches=None,
+                           n: int = 32):
+    """Per-CHANNEL activation absmax of the smoothable matmul inputs.
+
+    Returns {"block_i": {key: np.float32[channels]}} for key in SMOOTH_KEYS.
+    Same device discipline as _calibrate_encoder: per-batch reduction jitted
+    with variables as an argument, running max on device, one final fetch.
+    """
+    if batches is None:
+        batches = representative_batches(
+            n=n, shape=(3, model.config.image_size, model.config.image_size))
+    depth = model.config.depth
+
+    def _collect(v, im):
+        p = v["params"] if "params" in v else v
+        acts = encoder_collect_matmul_inputs(model.config, p, embed_fn(v, im))
+        out = {}
+        for i in range(depth):
+            out[f"block_{i}"] = {
+                key: jnp.max(jnp.abs(acts[f"block_{i}/{key}"]
+                                     .astype(jnp.float32)),
+                             axis=tuple(range(acts[f"block_{i}/{key}"].ndim - 1)))
+                for key in SMOOTH_KEYS
+            }
+        return out
+
+    collect = jax.jit(_collect)
+    run_max = None
+    for batch in batches:
+        m = collect(variables, jnp.asarray(batch))
+        run_max = m if run_max is None else jax.tree.map(jnp.maximum, run_max, m)
+    return jax.tree.map(lambda a: np.asarray(a, np.float32), run_max)
+
+
+def _smooth_s(act_max: np.ndarray, w_in_max: np.ndarray,
+              alpha: float) -> np.ndarray:
+    """SmoothQuant migration strength: s_j = max|X_j|^a / max|W_j|^(1-a).
+
+    Channels the calibration set never activates (act_max 0) keep s=1; s is
+    clipped to [1e-3, 1e3] so a dead weight row cannot explode the fold."""
+    a = np.maximum(act_max.astype(np.float64), 1e-12)
+    w = np.maximum(w_in_max.astype(np.float64), 1e-12)
+    s = a ** alpha / w ** (1.0 - alpha)
+    s = np.where(act_max > 0, s, 1.0)
+    return np.clip(s, 1e-3, 1e3).astype(np.float32)
+
+
+def smooth_encoder_params(cfg, params: Dict, ch_maxes: Dict,
+                          alpha: float = 0.5) -> Dict:
+    """Fold per-channel smoothing scales into an encoder param tree.
+
+    Returns a new float tree whose forward is EXACTLY equivalent (same math,
+    re-parameterized) but whose smoothed matmul-input activations have their
+    outlier channels shrunk toward the weights — so the per-TENSOR static
+    activation scales the int8 kernels use (int8_matmul_static) lose less
+    resolution.  Offline only: the deployment kernels are unchanged.
+
+    With cfg.reference_residual (the TF pre-norm quirk), the LN outputs also
+    feed the skip path, so only the out_in fold applies.
+    """
+    p = params["params"] if "params" in params else params
+    new_p = dict(p)
+    ln_foldable = not cfg.reference_residual
+    for name in p:
+        if not name.startswith("block_"):
+            continue
+        import collections.abc as _abc
+        blk = {k: (dict(v) if isinstance(v, _abc.Mapping) else v)
+               for k, v in p[name].items()}
+        mx = ch_maxes[name]
+        qkv_w = jnp.asarray(blk["attn"]["qkv_kernel"], jnp.float32)
+
+        if ln_foldable:
+            # qkv_in: LN -> qkv matmul
+            s = _smooth_s(mx["qkv_in"],
+                          np.asarray(jnp.max(jnp.abs(qkv_w), axis=1)), alpha)
+            sj = jnp.asarray(s)
+            blk["ln1"]["scale"] = blk["ln1"]["scale"] / sj
+            blk["ln1"]["bias"] = blk["ln1"]["bias"] / sj
+            qkv_w = qkv_w * sj[:, None]
+
+            # fc1_in: LN -> fc1 matmul
+            fc1_w = jnp.asarray(blk["ffn"]["fc1_kernel"], jnp.float32)
+            s = _smooth_s(mx["fc1_in"],
+                          np.asarray(jnp.max(jnp.abs(fc1_w), axis=1)), alpha)
+            sj = jnp.asarray(s)
+            blk["ln2"]["scale"] = blk["ln2"]["scale"] / sj
+            blk["ln2"]["bias"] = blk["ln2"]["bias"] / sj
+            blk["ffn"]["fc1_kernel"] = fc1_w * sj[:, None]
+
+        # out_in: v-section columns of qkv (+ bias) -> out_kernel rows.
+        # Fused-qkv layout is (qkv, heads, head_dim) on the last axis
+        # (ops/attention.qkv_split), so v = columns [2*W/3, W); merge_heads
+        # keeps (head, head_dim) order, so ctx channel c == v column v0+c.
+        out_w = jnp.asarray(blk["attn"]["out_kernel"], jnp.float32)
+        v0 = 2 * (qkv_w.shape[1] // 3)
+        s = _smooth_s(mx["out_in"],
+                      np.asarray(jnp.max(jnp.abs(out_w), axis=1)), alpha)
+        sj = jnp.asarray(s)
+        qkv_w = qkv_w.at[:, v0:].multiply(1.0 / sj[None, :])
+        if cfg.qkv_bias:
+            qb = jnp.asarray(blk["attn"]["qkv_bias"], jnp.float32)
+            blk["attn"]["qkv_bias"] = qb.at[..., v0:].multiply(1.0 / sj)
+        blk["attn"]["qkv_kernel"] = qkv_w
+        blk["attn"]["out_kernel"] = out_w * sj[:, None]
+        new_p[name] = blk
+    return {**params, "params": new_p} if "params" in params else new_p
+
+
+def smooth_vit(model, variables, batches=None, n: int = 32,
+               alpha: float = 0.5) -> Dict:
+    """SmoothQuant-style preprocessing for the ViT family: collect per-channel
+    activation maxima on representative data, fold migration scales into the
+    param tree.  Pipe the result through calibrate_vit +
+    quantize_vit_params_int8_static as usual."""
+    def embed(v, im):
+        p = v["params"] if "params" in v else v
+        return _embed_vit(model.config, p, im)
+
+    ch = _collect_channel_maxes(embed, model, variables, batches=batches, n=n)
+    return smooth_encoder_params(model.config, variables, ch, alpha=alpha)
+
+
+def smooth_t2t(model, variables, batches=None, n: int = 32,
+               alpha: float = 0.5) -> Dict:
+    """smooth_vit for the T2T family (tokens-to-token stem embeds and stays
+    float; encoder blocks share the ViT layout)."""
+    from ..models.t2t_vit import t2t_tokenize
+
+    def embed(v, im):
+        return t2t_tokenize(model, v if "params" in v else {"params": v},
+                            im, fast=False)
+
+    ch = _collect_channel_maxes(embed, model, variables, batches=batches, n=n)
+    return smooth_encoder_params(model.config, variables, ch, alpha=alpha)

@@ -304,3 +304,87 @@ def test_fused_int8_layerwise_pruned_segments():
     assert all("act_inv" not in s for s in sqd["segments"])
     gotd = np.asarray(fused_vit_apply_int8(model, v, x, sqd))
     assert np.abs(gotd - ref).max() / denom < 0.15
+
+
+# ---------------------------------------------------------------------------
+# SmoothQuant-style offline scale migration
+# ---------------------------------------------------------------------------
+
+
+def test_smooth_vit_exact_float_equivalence():
+    """Smoothing is a re-parameterization: the float forward must be
+    unchanged (up to fp32 rounding) while the weights really moved."""
+    from edgevisiontransformer_tpu.ops.quant import smooth_vit
+
+    model, params, x = _tiny_model()
+    psm = smooth_vit(model, params, batches=[np.asarray(x)], alpha=0.5)
+    ref = np.asarray(model.apply(params, x))
+    got = np.asarray(model.apply(psm, x))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=0)
+    moved = np.abs(
+        np.asarray(psm["params"]["block_0"]["attn"]["qkv_kernel"])
+        - np.asarray(params["params"]["block_0"]["attn"]["qkv_kernel"])).max()
+    assert moved > 1e-6, "smoothing left the qkv kernel untouched"
+
+
+def test_smooth_vit_reference_residual_gates_ln_folds():
+    """With the TF pre-norm quirk the LN output feeds the skip path, so only
+    the out_in (v-column) fold may apply — LN params must stay untouched and
+    the forward must still be exactly equivalent."""
+    from edgevisiontransformer_tpu.ops.quant import smooth_vit
+
+    cfg = deit_config("tiny").replace(
+        image_size=32, patch_size=16, dim=64, depth=2, heads=2, mlp_dim=128,
+        num_classes=10, reference_residual=True,
+    )
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32))
+    params = model.init(jax.random.key(1), x)
+    psm = smooth_vit(model, params, batches=[np.asarray(x)], alpha=0.5)
+    np.testing.assert_array_equal(
+        np.asarray(psm["params"]["block_0"]["ln1"]["scale"]),
+        np.asarray(params["params"]["block_0"]["ln1"]["scale"]))
+    np.testing.assert_array_equal(
+        np.asarray(psm["params"]["block_0"]["ln2"]["bias"]),
+        np.asarray(params["params"]["block_0"]["ln2"]["bias"]))
+    ref = np.asarray(model.apply(params, x))
+    got = np.asarray(model.apply(psm, x))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=0)
+
+
+def test_smooth_vit_shrinks_outlier_channels_and_quantizes():
+    """Inject a 50x activation-outlier channel via the LN scale; smoothing
+    must shrink the qkv_in per-channel spread, and the smoothed static-int8
+    pipeline must produce tighter logits than the unsmoothed one."""
+    from edgevisiontransformer_tpu.ops.quant import (
+        calibrate_vit,
+        int8_vit_apply_static,
+        quantize_vit_params_int8_static,
+        smooth_vit,
+        vit_collect_matmul_inputs,
+    )
+
+    model, params, x = _tiny_model()
+    p = params["params"]
+    g = np.asarray(p["block_0"]["ln1"]["scale"]).copy()
+    g[7] *= 50.0
+    p["block_0"]["ln1"]["scale"] = jnp.asarray(g)
+
+    def spread(tree):
+        a = np.abs(np.asarray(
+            vit_collect_matmul_inputs(model, tree, x)["block_0/qkv_in"]))
+        ch = a.reshape(-1, a.shape[-1]).max(0)
+        return ch.max() / np.median(ch)
+
+    psm = smooth_vit(model, params, batches=[np.asarray(x)], alpha=0.5)
+    assert spread(psm) < 0.5 * spread(params), (spread(psm), spread(params))
+
+    ref = np.asarray(model.apply(params, x))
+
+    def max_err(tree):
+        q = quantize_vit_params_int8_static(
+            tree, calibrate_vit(model, tree, batches=[np.asarray(x)]))
+        out = np.asarray(int8_vit_apply_static(model, q, x))
+        return np.abs(out - ref).max()
+
+    assert max_err(psm) < max_err(params), (max_err(psm), max_err(params))

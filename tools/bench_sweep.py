@@ -261,17 +261,19 @@ def quant_accuracy_cases(fh):
     import contextlib
     import io
 
+    # ViT/T2T rows add the SmoothQuant-style migration column (offline
+    # re-parameterization; same runtime kernels — no Swin collector yet)
     cases = [
         ("deit_tiny", ["--batches", "4", "--calib-batches", "32",
-                       "--with-mse"]),
+                       "--with-mse", "--with-smooth"]),
         ("deit_base", ["--batches", "4", "--calib-batches", "32",
-                       "--with-mse"]),
+                       "--with-mse", "--with-smooth"]),
         ("deit_small", ["--batches", "4", "--calib-batches", "32",
-                        "--with-mse"]),
+                        "--with-mse", "--with-smooth"]),
         ("t2t_vit_7", ["--batches", "4", "--calib-batches", "32",
-                       "--with-mse"]),
+                       "--with-mse", "--with-smooth"]),
         ("t2t_vit_14", ["--batches", "4", "--calib-batches", "32",
-                        "--with-mse"]),
+                        "--with-mse", "--with-smooth"]),
         # batch 1 rides the already-cached b1 whole-stage compiles (a b8
         # whole-model Swin compile would be its own ~13 min cache entry;
         # the mse mode reuses the static mode's HLO — scales are args)
