@@ -509,12 +509,16 @@ def cmd_convert(argv):
             if args.calib_percentile is not None:
                 raise SystemExit("swin calibration records absmax only "
                                  "(--calib-percentile is ViT/T2T-only)")
-            if args.smooth_alpha is not None:
-                raise SystemExit("--smooth-alpha is ViT/T2T-only (no Swin "
-                                 "channel-max collector yet)")
             from .cache import enable_compilation_cache
 
             enable_compilation_cache()
+            if args.smooth_alpha is not None:
+                from .models.swin import smooth_swin
+
+                params = smooth_swin(model, params, n=args.calib_batches,
+                                     alpha=args.smooth_alpha)
+                meta["smooth_alpha"] = args.smooth_alpha
+                print(f"smoothed swin params (alpha={args.smooth_alpha})")
             out = prepare_swin_int8_static(model, params,
                                            n=args.calib_batches,
                                            method=args.calib_method)
@@ -667,12 +671,12 @@ def cmd_quant_accuracy(argv):
         print(f"int8 stages: {sorted(q)} of {list(range(n_stages))} "
               f"(others run bf16 fused — mixed-precision rows)")
 
-        def _swin_mode(qq):
+        def _swin_mode(qq, v=pbf16, pr=prep):
             return functools.partial(
                 jax.jit(lambda b_, x: fused_swin_apply(
                     model_bf, b_["v"], x.astype(jnp.bfloat16),
                     prepared=b_["prep"], int8_prepared=b_["q"])),
-                {"v": pbf16, "prep": prep, "q": qq})
+                {"v": v, "prep": pr, "q": qq})
 
         modes = {
             "bf16": functools.partial(
@@ -685,10 +689,18 @@ def cmd_quant_accuracy(argv):
             modes["static_int8_mse"] = _swin_mode(prepare_swin_int8_static(
                 model_bf, pbf16, n=args.calib_batches, method="mse"))
         if args.with_smooth:
-            raise SystemExit("--with-smooth targets the ViT/T2T families "
-                             "(no Swin channel-max collector yet; the fold "
-                             "itself would be valid — window partition "
-                             "permutes tokens, not channels)")
+            # migration folds on the bf16 tree (the fold math runs fp32,
+            # leaves re-cast; the bf16 rounding is far below int8 noise) —
+            # then the normal prepare pipeline over the smoothed tree
+            from .models.swin import smooth_swin
+
+            psm = cast_params(
+                smooth_swin(model_bf, pbf16, n=args.calib_batches,
+                            alpha=args.smooth_alpha), jnp.bfloat16)
+            modes["static_int8_smooth"] = _swin_mode(
+                prepare_swin_int8_static(model_bf, psm,
+                                         n=args.calib_batches),
+                v=psm, pr=prepare_swin_fused(model_bf, psm))
     else:
         is_t2t = isinstance(model, _T2T)
         calibrate = calibrate_t2t if is_t2t else calibrate_vit

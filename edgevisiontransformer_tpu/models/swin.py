@@ -169,6 +169,11 @@ class WindowAttention(nn.Module):
             # MSE clip-search pass: the full tensor (quant-MSE reduced
             # in-jit by calibrate_swin; never fetched)
             self.sow("acts_full", "qkv_in", x.astype(jnp.float32))
+        if (self.is_mutable_collection("acts_ch")
+                and not self.is_initializing()):
+            # smooth_swin pass: per-CHANNEL absmax (SmoothQuant migration)
+            self.sow("acts_ch", "qkv_in_ch",
+                     jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1)))
         qkv = nn.Dense(self.dim * 3, use_bias=cfg.qkv_bias, dtype=cfg.dtype,
                        param_dtype=cfg.param_dtype, name="qkv")(x)
         bias_table = self.param(
@@ -233,6 +238,10 @@ class WindowAttention(nn.Module):
         if (self.is_mutable_collection("acts_full")
                 and not self.is_initializing()):
             self.sow("acts_full", "proj_in", out.astype(jnp.float32))
+        if (self.is_mutable_collection("acts_ch")
+                and not self.is_initializing()):
+            self.sow("acts_ch", "proj_in_ch",
+                     jnp.max(jnp.abs(out.astype(jnp.float32)), axis=(0, 1)))
         return nn.Dense(self.dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                         name="proj")(out)
 
@@ -292,6 +301,10 @@ class SwinBlock(nn.Module):
                 xn @ w1.astype(cfg.dtype) + bb1.astype(cfg.dtype))
             self.sow("acts", "fc2_in_absmax",
                      jnp.max(jnp.abs(hid_c.astype(jnp.float32))))
+        if (self.is_mutable_collection("acts_ch")
+                and not self.is_initializing()):
+            self.sow("acts_ch", "fc1_in_ch",
+                     jnp.max(jnp.abs(xn.astype(jnp.float32)), axis=(0, 1)))
         if (self.is_mutable_collection("acts_full")
                 and not self.is_initializing()):
             self.sow("acts_full", "fc1_in", xn.astype(jnp.float32))
@@ -624,6 +637,87 @@ def calibrate_swin(model: "SwinTransformer", variables, batches=None,
                 rows[bi, j] = m / 127.0 if m > 0 else 1.0
         out[g.si] = rows
     return out
+
+
+def smooth_swin(model: "SwinTransformer", variables, batches=None,
+                n: int = 32, alpha: float = 0.5) -> dict:
+    """SmoothQuant-style offline scale migration for Swin (the ViT-family
+    analogue is ops/quant.smooth_vit; same math, same caveats).
+
+    Valid folds: window partition / cyclic roll / reverse permute TOKENS
+    only (channels intact) and each block's residual branches off BEFORE
+    the LN (SwinBlock: ``shortcut = x``), so
+      * qkv_in, fc1_in — per-channel 1/s into ln1/ln2 scale+bias, s into
+        the qkv/fc1 kernel rows (exact);
+      * proj_in — the merged attention context; channel order is (head,
+        head_dim), matching the v-section columns [2*dim, 3*dim) of the
+        fused qkv kernel, so 1/s folds there (+ bias) and s into the proj
+        kernel rows (exact; rel-pos bias and masks ride the LOGITS, not v).
+    fc2_in sits behind the GELU and stays with the clip calibrators.
+
+    Returns a new float variables tree (forward exactly equivalent) to pipe
+    through prepare_swin_int8_static as usual — runtime kernels unchanged.
+    """
+    import numpy as np
+
+    from ..ops.quant import _smooth_s, representative_batches
+
+    cfg = model.config
+    if batches is None:
+        batches = representative_batches(
+            n=n, shape=(cfg.in_channels, cfg.image_size, cfg.image_size))
+
+    def collect(v, im):
+        _, acts = model.apply(v, im, mutable=["acts_ch"])
+        return acts["acts_ch"]
+
+    collect = jax.jit(collect)
+    run_dev = None
+    for batch in batches:
+        acts = collect(variables, jnp.asarray(batch))
+        run_dev = acts if run_dev is None else jax.tree.map(
+            jnp.maximum, run_dev, acts)
+    run = jax.device_get(run_dev)  # sow leaves are 1-tuples
+
+    p = dict(variables["params"])
+    for g in _stage_geometry(cfg, variables["params"]):
+        for bi in range(g.depth):
+            name = f"stage_{g.si}_block_{bi}"
+            blk = jax.tree.map(lambda x: x, p[name])  # fresh containers
+            ch = run[name]
+            qkv_w = jnp.asarray(blk["attn"]["qkv"]["kernel"], jnp.float32)
+
+            # qkv_in: ln1 -> qkv matmul
+            s = _smooth_s(np.asarray(ch["attn"]["qkv_in_ch"][0]),
+                          np.asarray(jnp.max(jnp.abs(qkv_w), axis=1)), alpha)
+            sj = jnp.asarray(s)
+            blk["ln1_scale"] = blk["ln1_scale"] / sj
+            blk["ln1_bias"] = blk["ln1_bias"] / sj
+            qkv_w = qkv_w * sj[:, None]
+
+            # proj_in: v-columns of qkv (+ bias) -> proj rows
+            proj_w = jnp.asarray(blk["attn"]["proj"]["kernel"], jnp.float32)
+            v0 = 2 * (qkv_w.shape[1] // 3)
+            s = _smooth_s(np.asarray(ch["attn"]["proj_in_ch"][0]),
+                          np.asarray(jnp.max(jnp.abs(proj_w), axis=1)), alpha)
+            sj = jnp.asarray(s)
+            qkv_w = qkv_w.at[:, v0:].multiply(1.0 / sj[None, :])
+            if "bias" in blk["attn"]["qkv"]:
+                qb = jnp.asarray(blk["attn"]["qkv"]["bias"], jnp.float32)
+                blk["attn"]["qkv"]["bias"] = qb.at[v0:].multiply(1.0 / sj)
+            blk["attn"]["qkv"]["kernel"] = qkv_w
+            blk["attn"]["proj"]["kernel"] = proj_w * sj[:, None]
+
+            # fc1_in: ln2 -> fc1 matmul
+            fc1_w = jnp.asarray(blk["mlp_fc1_kernel"], jnp.float32)
+            s = _smooth_s(np.asarray(ch["fc1_in_ch"][0]),
+                          np.asarray(jnp.max(jnp.abs(fc1_w), axis=1)), alpha)
+            sj = jnp.asarray(s)
+            blk["ln2_scale"] = blk["ln2_scale"] / sj
+            blk["ln2_bias"] = blk["ln2_bias"] / sj
+            blk["mlp_fc1_kernel"] = fc1_w * sj[:, None]
+            p[name] = blk
+    return {**variables, "params": p}
 
 
 def prepare_swin_int8_static(model: "SwinTransformer", variables,

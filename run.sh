@@ -121,6 +121,21 @@ function r4_pending() {
     python tools/make_benchmarks_md.py $SWEEP BENCHMARKS.md
 }
 
+function r5_pending() {
+    # Session queue behind the 2026-08-19 tunnel outage: headline
+    # regression gate, quant-accuracy table refresh (adds the SmoothQuant
+    # migration rows), and real-chip device-trace captures with the §4.4
+    # per-op-sum reconciliation printed (trace mode is unit-tested off-TPU;
+    # this records the on-hardware run).
+    SWEEP=bench_sweep_r3.jsonl
+    bench_gate
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=quant_accuracy
+    python tools/make_benchmarks_md.py $SWEEP BENCHMARKS.md
+    $CLI profile --model deit_tiny --mode trace --output trace_deit_tiny.csv || true
+    $CLI profile --model deit_tiny --mode trace --kernel-mode fused \
+        --output trace_deit_tiny_fused.csv || true
+}
+
 # --- profiling (reference --enable_op_profiling + analyse.py) ---------------
 
 function profile_deit() {

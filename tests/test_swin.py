@@ -461,3 +461,49 @@ def test_fused_swin_merge_kernel_runs_and_matches():
         sm.swin_merge_forward = orig
     np.testing.assert_allclose(y_k, y_ref, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(y_off, y_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_smooth_swin_exact_float_equivalence():
+    """smooth_swin is an exact re-parameterization: the float forward is
+    unchanged (window ops permute tokens, not channels; residuals branch
+    before the LNs) while LN/qkv/proj/fc1 params really moved."""
+    from edgevisiontransformer_tpu.models.swin import smooth_swin
+
+    cfg = swin_config("tiny", image_size=56, embed_dim=32, depths=(2, 2),
+                      num_heads=(2, 4), num_classes=11)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
+    v = m.init(jax.random.key(1), x)
+    vsm = smooth_swin(m, v, batches=[np.asarray(x)], alpha=0.5)
+    ref = np.asarray(m.apply(v, x))
+    got = np.asarray(m.apply(vsm, x))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=0)
+    blk0, blk0s = v["params"]["stage_0_block_0"], vsm["params"]["stage_0_block_0"]
+    assert np.abs(np.asarray(blk0s["ln1_scale"])
+                  - np.asarray(blk0["ln1_scale"])).max() > 1e-6
+    assert np.abs(np.asarray(blk0s["attn"]["proj"]["kernel"])
+                  - np.asarray(blk0["attn"]["proj"]["kernel"])).max() > 1e-6
+
+
+def test_smooth_swin_static_int8_pipeline_runs():
+    """Smoothed tree flows through prepare_swin_fused +
+    prepare_swin_int8_static and the whole-stage kernels: argmax agreement
+    with the unsmoothed float forward."""
+    from edgevisiontransformer_tpu.models.swin import (
+        fused_swin_apply, prepare_swin_fused, prepare_swin_int8_static,
+        smooth_swin)
+
+    cfg = swin_config("tiny", image_size=56, embed_dim=32, depths=(2, 2),
+                      num_heads=(2, 4), num_classes=11)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
+    v = m.init(jax.random.key(1), x)
+    vsm = smooth_swin(m, v, batches=[np.asarray(x)], alpha=0.5)
+    qs = prepare_swin_int8_static(m, vsm, batches=[np.asarray(x)], min_dim=0)
+    assert qs, "no stage qualified for the int8 whole-stage kernel"
+    y = np.asarray(fused_swin_apply(m, vsm, x,
+                                    prepared=prepare_swin_fused(m, vsm),
+                                    int8_prepared=qs))
+    ref = np.asarray(m.apply(v, x))
+    np.testing.assert_array_equal(y.argmax(-1), ref.argmax(-1))
+    np.testing.assert_allclose(y, ref, rtol=0.1, atol=0.2)

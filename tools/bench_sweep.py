@@ -261,8 +261,8 @@ def quant_accuracy_cases(fh):
     import contextlib
     import io
 
-    # ViT/T2T rows add the SmoothQuant-style migration column (offline
-    # re-parameterization; same runtime kernels — no Swin collector yet)
+    # Every family adds the SmoothQuant-style migration column (offline
+    # re-parameterization; same runtime kernels)
     cases = [
         ("deit_tiny", ["--batches", "4", "--calib-batches", "32",
                        "--with-mse", "--with-smooth"]),
@@ -278,7 +278,8 @@ def quant_accuracy_cases(fh):
         # whole-model Swin compile would be its own ~13 min cache entry;
         # the mse mode reuses the static mode's HLO — scales are args)
         ("swin_tiny", ["--batch", "1", "--batches", "8",
-                       "--calib-batches", "16", "--with-mse"]),
+                       "--calib-batches", "16", "--with-mse",
+                       "--with-smooth"]),
     ]
     out = {}
     for model, extra in cases:
