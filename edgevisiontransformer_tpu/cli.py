@@ -255,9 +255,18 @@ def cmd_benchmark_train(argv):
     p.add_argument("--remat", action="store_true",
                    help="per-block gradient rematerialization (memory for "
                         "recompute; ViT-family models)")
+    p.add_argument("--qat", action="store_true",
+                   help="sparse mode: fake-quant the encoder matmul kernels "
+                        "in the training forward (STE; measures the QAT "
+                        "marginal step cost)")
     p.add_argument("--report-memory", action="store_true",
                    help="also report the compiled step's static HBM MB")
     args = p.parse_args(argv)
+    if args.qat and args.mode != "sparse":
+        # sparse-only: with --mode both the sparse-minus-finetune marginal
+        # print would silently fold the QAT STE cost into the masking/topK
+        # delta, and the qat flag would mislabel the non-QAT finetune row
+        raise SystemExit("--qat requires --mode sparse")
 
     import dataclasses
 
@@ -321,7 +330,7 @@ def cmd_benchmark_train(argv):
         )
         from .pruning.sparse_train import make_sparse_train_step
 
-        sparse = SparseConfig()
+        sparse = SparseConfig(qat=args.qat)
         scores = init_mask_scores(cfg, sparse, jax.random.key(2))
         n_scores = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(scores))
         opt_p = optax.adamw(1e-4)
@@ -356,6 +365,8 @@ def cmd_benchmark_train(argv):
         print(f"sparse marginal (masking+topK+regu+2nd opt): {marg:.4f} ms/step")
     out = {m: {k: v for k, v in r.items()} for m, r in results.items()}
     out.update(model=args.model, batch=args.batch)
+    if args.qat:
+        out["qat"] = True
     print(json.dumps(out))
 
 
@@ -472,9 +483,9 @@ def cmd_convert(argv):
                         "(reference min/max semantics) or mse (offline "
                         "MSE-optimal clip search; tighter logit drift)")
     p.add_argument("--smooth-alpha", type=float, default=None,
-                   help="int8 (ViT/T2T): SmoothQuant-style offline scale "
-                        "migration before calibration, with this strength "
-                        "(exact float re-parameterization; try 0.5)")
+                   help="int8 (ViT/T2T/Swin): SmoothQuant-style offline "
+                        "scale migration before calibration, with this "
+                        "strength (exact float re-parameterization; try 0.5)")
     args = p.parse_args(argv)
     if args.smooth_alpha is not None and args.quantization != "int8":
         raise SystemExit("--smooth-alpha applies to --quantization int8 only")
@@ -603,8 +614,9 @@ def cmd_quant_accuracy(argv):
                         "calibration; ViT/T2T families)")
     p.add_argument("--with-smooth", action="store_true",
                    help="add a static_int8_smooth row (SmoothQuant-style "
-                        "offline scale migration before calibration; "
-                        "ViT/T2T families)")
+                        "offline scale migration before calibration; all "
+                        "three families — with --with-mse the ViT/T2T/Swin "
+                        "runs also get a static_int8_smooth_mse row)")
     p.add_argument("--smooth-alpha", type=float, default=0.5,
                    help="migration strength for --with-smooth (0..1)")
     args = p.parse_args(argv)
@@ -697,10 +709,17 @@ def cmd_quant_accuracy(argv):
             psm = cast_params(
                 smooth_swin(model_bf, pbf16, n=args.calib_batches,
                             alpha=args.smooth_alpha), jnp.bfloat16)
+            prep_sm = prepare_swin_fused(model_bf, psm)
             modes["static_int8_smooth"] = _swin_mode(
                 prepare_swin_int8_static(model_bf, psm,
                                          n=args.calib_batches),
-                v=psm, pr=prepare_swin_fused(model_bf, psm))
+                v=psm, pr=prep_sm)
+            if args.with_mse:
+                modes["static_int8_smooth_mse"] = _swin_mode(
+                    prepare_swin_int8_static(model_bf, psm,
+                                             n=args.calib_batches,
+                                             method="mse"),
+                    v=psm, pr=prep_sm)
     else:
         is_t2t = isinstance(model, _T2T)
         calibrate = calibrate_t2t if is_t2t else calibrate_vit

@@ -234,8 +234,13 @@ def train_cases(fh):
         ("deit_base", 16, ["--remat"]),
         ("deit_base", 64, ["--mode", "finetune"]),
         ("deit_base", 64, ["--remat", "--mode", "finetune"]),
+        # QAT marginal: fake-quant STE over the encoder matmul kernels
+        # inside the sparse step (quant.fake_quant_vit_encoder)
+        ("deit_tiny", 64, ["--mode", "sparse", "--qat"]),
+        ("deit_base", 16, ["--mode", "sparse", "--qat"]),
     ):
-        key = f"{model}_b{batch}" + ("_remat" if "--remat" in extra else "")
+        key = (f"{model}_b{batch}" + ("_remat" if "--remat" in extra else "")
+               + ("_qat" if "--qat" in extra else ""))
         buf = io.StringIO()
         try:
             with contextlib.redirect_stdout(buf):
