@@ -2,9 +2,13 @@
 write, pass/fail drift classification, stale-row detection.  The measure
 step is stubbed — on-chip measurement is exercised by run.sh bench_gate."""
 
+import pytest
+
 import importlib.util
 import json
 import pathlib
+
+pytestmark = pytest.mark.quick
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 

@@ -2,9 +2,13 @@
 fastest-p50 dedup across same-code sessions, the ±std / n noise columns
 (verdict r2 weak #8), error-row supersession, and extras sections."""
 
+import pytest
+
 import importlib.util
 import json
 import pathlib
+
+pytestmark = pytest.mark.quick
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 

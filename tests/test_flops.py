@@ -4,6 +4,8 @@ Golden values were produced by executing the reference implementation
 (/root/reference/flops_calculation.py) directly; our formulas must agree
 exactly since its MACs grids are the pruned-latency expectation oracle."""
 
+import pytest
+
 from edgevisiontransformer_tpu.utils.flops import (
     MODEL_FLOPS,
     model_macs,
@@ -12,6 +14,8 @@ from edgevisiontransformer_tpu.utils.flops import (
     swin_flops,
     vit_flops,
 )
+
+pytestmark = pytest.mark.quick
 
 
 def test_deit_flops_golden():

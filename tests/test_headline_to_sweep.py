@@ -2,9 +2,13 @@
 schema tools/make_benchmarks_md.py consumes (name suffixing by kernel_mode,
 impl collapse to int8, derived img/s)."""
 
+import pytest
+
 import importlib.util
 import json
 import pathlib
+
+pytestmark = pytest.mark.quick
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 

@@ -1,6 +1,8 @@
 """Profiler CSV + analyser roundtrip tests (CPU; timings meaningless but the
 schema/aggregation logic is what's under test)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +16,8 @@ from edgevisiontransformer_tpu.bench.analyse import (
 )
 from edgevisiontransformer_tpu.bench.profile import profile_vit, write_profile_csv
 from edgevisiontransformer_tpu.models.vit import ViT, deit_config
+
+pytestmark = pytest.mark.quick
 
 
 def _csv_repr(v: float) -> float:

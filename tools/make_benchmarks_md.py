@@ -61,14 +61,30 @@ def main(*paths):
         return ("std_ms" in d and d.get("repeats", 0) >= MIN_REPEATS
                 and d["std_ms"] / d["ms"] <= NOISE_GATE)
 
-    seen = {}
+    def _pick(group):
+        """Best row of one (name, batch, impl) key, order-independently.
+
+        Fastest quiet p50 — EXCEPT that when another quiet row sits within
+        the min row's own std, the delta is noise, not signal, and the
+        tighter measurement is the better table entry (advisor round-3: a
+        0.17%-faster ±0.23 row displaced a ±0.025 one).  Selecting among
+        "quiet rows within std-of-min" keeps the pick within one std of the
+        true min (an incremental pairwise tie-break is order-dependent and
+        can chain-drift several stds up).
+        """
+        quiet = [d for d in group if _quiet(d)]
+        if not quiet:
+            return min(group, key=lambda d: d["ms"])
+        fastest = min(quiet, key=lambda d: d["ms"])
+        near = [d for d in quiet
+                if d["ms"] <= fastest["ms"] + fastest["std_ms"]]
+        return min(near, key=lambda d: d["std_ms"])
+
+    groups = {}
     for d in rows:
         key = (d["name"], d["batch"], bool(d.get("fused")))
-        cur = seen.get(key)
-        if (cur is None
-                or (_quiet(d) and not _quiet(cur))
-                or (_quiet(d) == _quiet(cur) and d["ms"] < cur["ms"])):
-            seen[key] = d
+        groups.setdefault(key, []).append(d)
+    seen = {k: _pick(g) for k, g in groups.items()}
     rows = list(seen.values())
     # drop stale error lines superseded by a later successful measurement
     ok = {(d["name"], d["batch"]) for d in rows}
@@ -149,10 +165,13 @@ def main(*paths):
                 f"| {k} | {v['args_mb']} | {v['out_mb']} | {v['temp_mb']} | "
                 f"{v['code_mb']} | {v['total_mb']} | {v['init_s']} |")
 
-    for key in ("training_steps", "quant_accuracy", "quant_op_sweep",
+    for key in ("training_steps", "quant_accuracy", "qat_payoff",
+                "quant_op_sweep", "sparse_e2e",
                 "fusion_ab", "micro_models_b1", "micro_models_b128",
                 "latency_predictor", "latency_predictor_small",
-                "latency_predictor_base", "data_pipeline"):
+                "latency_predictor_base", "latency_predictor_int8",
+                "data_pipeline", "swin_stage_decomposition",
+                "t2t_stem_decomposition"):
         if key in extras:
             lines += ["", f"## {key}", "", "```json",
                       json.dumps(extras[key], indent=2), "```"]

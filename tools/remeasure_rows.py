@@ -226,6 +226,108 @@ def swin_b1(fh):
               (v, prep, qs, x), 3, "int8", iters=100)
 
 
+def tiny_b32(fh):
+    """VERDICT r3 weak #2: the 'static int8 beats bf16 everywhere' claim has
+    a measured counterexample at deit_tiny b32 (int8_static 1.0420 ±0.019 vs
+    fused 0.9595 ±0.032, same session).  Interleaved same-window A/B to
+    settle it; the table and the CLAUDE.md claim follow whatever wins."""
+    from edgevisiontransformer_tpu.models.vit import (
+        fused_vit_apply,
+        fused_vit_apply_int8,
+        get_deit_tiny,
+        prepare_vit_int8_static,
+    )
+
+    m = get_deit_tiny("standard", dtype=DT)
+    v = m.init(jax.random.key(0), jnp.ones((1, 3, 224, 224), DT))
+    sq = prepare_vit_int8_static(m, v)
+    x = jnp.ones((32, 3, 224, 224), DT)
+    for rnd in range(ROUNDS + 1):
+        bench(fh, "deit_tiny_fused", 32,
+              lambda vv, xx: fused_vit_apply(m, vv, xx), (v, x), 1,
+              "fused", iters=50)
+        bench(fh, "deit_tiny_int8_static", 32,
+              lambda vv, ss, xx: fused_vit_apply_int8(m, vv, xx, ss),
+              (v, sq, x), 2, "int8", iters=50)
+
+
+def t2t_rest_b32(fh):
+    """t2t_vit_10/12 b32 rows (VERDICT r3 weak #3: the family had b1-only
+    coverage at those variants): xla / fused / int8_static, interleaved."""
+    from edgevisiontransformer_tpu.models.t2t_vit import (
+        T2TViT,
+        fused_t2t_apply,
+        fused_t2t_apply_int8,
+        prepare_t2t_fused,
+        prepare_t2t_int8_static,
+        t2t_vit_config,
+    )
+
+    for var in (10, 12):
+        m = T2TViT(t2t_vit_config(var, dtype=DT))
+        v = m.init(jax.random.key(0), jnp.ones((1, 3, 224, 224), DT))
+        prep = prepare_t2t_fused(m, v)
+        sq = prepare_t2t_int8_static(m, v, calib_batches=[
+            np.random.RandomState(i).randn(1, 3, 224, 224).astype("float32")
+            for i in range(8)])
+        x = jnp.ones((32, 3, 224, 224), DT)
+        cases = [
+            (f"t2t_vit_{var}", "xla", lambda vv, xx, m=m: m.apply(vv, xx),
+             (v, x), 1),
+            (f"t2t_vit_{var}_fused", "fused",
+             lambda vv, pp, xx, m=m: fused_t2t_apply(m, vv, xx, pp),
+             (v, prep, x), 2),
+            (f"t2t_vit_{var}_int8_static", "int8",
+             lambda vv, qq, pp, xx, m=m: fused_t2t_apply_int8(
+                 m, vv, xx, qq, prepared=pp), (v, sq, prep, x), 3),
+        ]
+        for rnd in range(ROUNDS):
+            for name, impl, fn, args, ca in cases:
+                bench(fh, name, 32, fn, args, ca, impl, iters=20)
+
+
+def cnn_all(fh):
+    """CNN zoo to 15/15 at b1 AND b32 (VERDICT r3 weak #4: 7/15, b1-only;
+    the reference benchmarks its whole zoo as the ViT-latency comparison
+    baseline, run.sh:5-92)."""
+    from edgevisiontransformer_tpu.models.cnn.zoo import CNN_ZOO, get_cnn
+
+    new_b1 = {"mobilenet_v1", "mobilenet_v3_small", "squeezenet",
+              "resnet50_v2", "efficientnet_lite0", "shufflenet_v1",
+              "mnasnet", "proxyless_mobile"}
+    for name in CNN_ZOO:
+        m = get_cnn(name)
+        size = 299 if "inception" in name else 224
+        v = m.init(jax.random.key(0), jnp.ones((1, 3, size, size), DT))
+        if name in new_b1:
+            x1 = jnp.ones((1, 3, size, size), DT)
+            bench(fh, name, 1, lambda vv, xx, m=m: m.apply(vv, xx),
+                  (v, x1), 1, "xla", iters=100, repeats=5)
+        x32 = jnp.ones((32, 3, size, size), DT)
+        bench(fh, name, 32, lambda vv, xx, m=m: m.apply(vv, xx),
+              (v, x32), 1, "xla", iters=30, repeats=5)
+
+
+def pruned128(fh):
+    """pruned int8_static b128 row (VERDICT r3 directive #2 last gap)."""
+    from edgevisiontransformer_tpu.models.vit import (
+        ViT,
+        fused_vit_apply_int8,
+        prepare_vit_int8_static,
+        pruned_vit_config,
+    )
+
+    cfg = pruned_vit_config("tiny", "all_head1_ffn0.3", dtype=DT)
+    m = ViT(cfg)
+    v = m.init(jax.random.key(0), jnp.ones((1, 3, 224, 224), DT))
+    sq = prepare_vit_int8_static(m, v)
+    x = jnp.ones((128, 3, 224, 224), DT)
+    for rnd in range(ROUNDS):
+        bench(fh, "pruned_deit_tiny@all_head1_ffn0.3_int8_static", 128,
+              lambda vv, ss, xx: fused_vit_apply_int8(m, vv, xx, ss),
+              (v, sq, x), 2, "int8", iters=50)
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "bench_sweep_r3.jsonl"
     which = set(sys.argv[2:]) or {"t2t7", "t2t14", "vit", "cnn", "swin"}
@@ -237,12 +339,20 @@ def main():
             t2t14_b32(fh)
         if "t2t_rest" in which:
             t2t_rest(fh)
+        if "t2t_rest_b32" in which:
+            t2t_rest_b32(fh)
         if "vit" in which:
             vit_fill(fh)
+        if "tinyb32" in which:
+            tiny_b32(fh)
         if "cnn" in which:
             cnn_fill(fh)
+        if "cnn_all" in which:
+            cnn_all(fh)
         if "swin" in which:
             swin_b1(fh)
+        if "pruned128" in which:
+            pruned128(fh)
 
 
 if __name__ == "__main__":
