@@ -72,8 +72,19 @@ def _load_quantized_artifact(path: str, dtype: str):
             f"{path}: not a quantized convert artifact (need meta.json with "
             "quantization dynamic|int8; float16/bfloat16 casts load via "
             "--checkpoint)")
-    model, in_shape = _build_model(meta["model"], meta.get("style", "standard"),
-                                   dtype)
+    if "config" in meta:
+        # artifact built from a sparse_train-compiled checkpoint: rebuild
+        # the exact pruned shapes from its embedded config
+        from .config import ViTConfig
+        from .models.vit import ViT
+
+        cfg = ViTConfig.from_json(json.dumps(meta["config"])).replace(
+            dtype=jnp.dtype(dtype))
+        model = ViT(cfg)
+        in_shape = (3, cfg.image_size, cfg.image_size)
+    else:
+        model, in_shape = _build_model(meta["model"],
+                                       meta.get("style", "standard"), dtype)
     tree = load_checkpoint(path)
 
     from .models.swin import SwinTransformer, fused_swin_apply, prepare_swin_fused
@@ -125,6 +136,11 @@ def cmd_benchmark(argv):
                    help="benchmark a convert-saved dynamic/int8 artifact "
                         "through the deployment kernels (overrides --model/"
                         "--kernel-mode)")
+    p.add_argument("--stem-int8", action="store_true",
+                   help="T2T int8_static only: also run the tokenizer "
+                        "stem's three big matmuls static-int8 "
+                        "(prepare_t2t_stem_int8_static) — for t2t_7 the "
+                        "stem is ~60% of the model")
     args = p.parse_args(argv)
 
     from .bench.looptimer import measure_op_time
@@ -205,9 +221,20 @@ def cmd_benchmark(argv):
             else:
                 sq = prepare_t2t_int8(model, params)
             prep = prepare_t2t_fused(model, params)
-            fn = lambda p_, sq_, pp_, x_: fused_t2t_apply_int8(
-                model, p_, x_, sq_, prepared=pp_)
-            extra = (sq, prep)
+            if args.stem_int8:
+                if args.kernel_mode != "int8_static":
+                    raise SystemExit("--stem-int8 needs "
+                                     "--kernel-mode int8_static")
+                from .models.t2t_vit import prepare_t2t_stem_int8_static
+
+                stq = prepare_t2t_stem_int8_static(model, params)
+                fn = lambda p_, sq_, pp_, st_, x_: fused_t2t_apply_int8(
+                    model, p_, x_, sq_, prepared=pp_, stem_q=st_)
+                extra = (sq, prep, stq)
+            else:
+                fn = lambda p_, sq_, pp_, x_: fused_t2t_apply_int8(
+                    model, p_, x_, sq_, prepared=pp_)
+                extra = (sq, prep)
     elif args.kernel_mode == "fused":
         from .models.swin import SwinTransformer, fused_swin_apply, prepare_swin_fused
         from .models.t2t_vit import T2TViT, fused_t2t_apply, prepare_t2t_fused
@@ -491,18 +518,34 @@ def cmd_convert(argv):
         raise SystemExit("--smooth-alpha applies to --quantization int8 only")
 
     from .ops.quant import cast_params, quantize_vit_params_int8
-    from .utils.checkpoint import load_checkpoint, save_checkpoint
-
-    model, in_shape = _build_model(args.model, args.style)
-    x = jnp.ones((1,) + in_shape)
-    params = model.init(jax.random.key(0), x)
-    if args.checkpoint:
-        params = load_checkpoint(args.checkpoint, params)
+    from .utils.checkpoint import load_checkpoint, load_meta, save_checkpoint
 
     meta = {
         "model": args.model, "quantization": args.quantization,
         "style": args.style,
     }
+    ck_meta = load_meta(args.checkpoint) if args.checkpoint else None
+    if ck_meta and "config" in ck_meta:
+        # a sparse_train-compiled (shrunken) checkpoint: its meta carries
+        # the exact pruned config — the default-shaped tree would mismatch.
+        # Propagating it into the artifact meta keeps the convert->benchmark
+        # /eval chain standalone (the reference's train->compile->eval
+        # story, deit_pruning/src/train_main.py:387-421 + eval_main.py).
+        from .config import ViTConfig
+        from .models.vit import ViT
+
+        cfg = ViTConfig.from_json(json.dumps(ck_meta["config"]))
+        model = ViT(cfg)
+        in_shape = (3, cfg.image_size, cfg.image_size)
+        meta["config"] = ck_meta["config"]
+        print(f"checkpoint carries a compiled config: heads "
+              f"{cfg.heads_per_layer} mlp {cfg.mlp_dim_per_layer}")
+    else:
+        model, in_shape = _build_model(args.model, args.style)
+    x = jnp.ones((1,) + in_shape)
+    params = model.init(jax.random.key(0), x)
+    if args.checkpoint:
+        params = load_checkpoint(args.checkpoint, params)
     from .models.swin import SwinTransformer
 
     if args.quantization in ("float16", "bfloat16"):
@@ -606,6 +649,10 @@ def cmd_quant_accuracy(argv):
     p.add_argument("--style", default="standard")
     p.add_argument("--from-hf", default=None,
                    help="optional HF checkpoint for real weights")
+    p.add_argument("--checkpoint", default=None,
+                   help="float checkpoint dir (e.g. a sparse_train output; "
+                        "its meta config — pruned shapes, norm/act modes — "
+                        "overrides --model when present)")
     p.add_argument("--batches", type=int, default=8)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--calib-batches", type=int, default=32)
@@ -636,7 +683,25 @@ def cmd_quant_accuracy(argv):
         representative_batches,
     )
 
-    model, in_shape = _build_model(args.model, args.style, dtype="float32")
+    ck_meta = None
+    if args.checkpoint:
+        from .utils.checkpoint import load_meta
+
+        ck_meta = load_meta(args.checkpoint)
+    if ck_meta and "config" in ck_meta:
+        # sparse_train-compiled checkpoint: exact pruned config
+        from .config import ViTConfig
+        from .models.vit import ViT as _ViTClass
+
+        cfg = ViTConfig.from_json(json.dumps(ck_meta["config"])).replace(
+            dtype=jnp.dtype("float32"))
+        model = _ViTClass(cfg)
+        in_shape = (3, cfg.image_size, cfg.image_size)
+        print(f"checkpoint config: heads {cfg.heads_per_layer} "
+              f"mlp {cfg.mlp_dim_per_layer}")
+    else:
+        model, in_shape = _build_model(args.model, args.style,
+                                       dtype="float32")
     from .models.swin import SwinTransformer as _Swin
     from .models.t2t_vit import T2TViT as _T2T
     from .models.vit import ViT as _ViT
@@ -650,6 +715,11 @@ def cmd_quant_accuracy(argv):
         from .utils.hf_import import import_hf_vit
 
         params = import_hf_vit(args.from_hf, model)
+    elif args.checkpoint:
+        from .utils.checkpoint import load_checkpoint
+
+        params = load_checkpoint(args.checkpoint,
+                                 model.init(jax.random.key(0), x0))
     else:
         params = model.init(jax.random.key(0), x0)
 
@@ -1350,8 +1420,12 @@ def cmd_latency_model(argv):
     p.add_argument("--data", default=None, help="csv of encoding,ms")
     p.add_argument("--predictor", default=None, help="pickled model path")
     p.add_argument("--encoding", default=None, help='"h_4_d_0.4-..." to predict')
-    p.add_argument("--impl", default="fused", choices=["fused", "xla"],
-                   help="collect: which inference path to measure")
+    p.add_argument("--impl", default="fused",
+                   choices=["fused", "xla", "int8_static"],
+                   help="collect: which inference path to measure — "
+                        "int8_static is the deployed path (the dispatch-"
+                        "chosen best at nearly every size/batch), so its "
+                        "dataset fits a 'deployed latency' predictor")
     p.add_argument("--cv", type=int, default=5,
                    help="fit: also report k-fold cross-validated metrics "
                         "(0 disables)")
@@ -1382,7 +1456,8 @@ def cmd_latency_model(argv):
         depth = 12
         max_heads = {"tiny": 3, "small": 6, "base": 12}[args.size]
         encs = sample_random_configs(args.n, depth, max_heads, seed=args.seed)
-        out = args.output or f"latency_{args.size}.csv"
+        suffix = "" if args.impl == "fused" else f"_{args.impl}"
+        out = args.output or f"latency_{args.size}{suffix}.csv"
         measure = measure_pruned_deit(args.size, batch=args.batch,
                                       impl=args.impl, detailed=True)
         # incremental writes: a killed multi-hour collect keeps its rows;

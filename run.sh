@@ -171,6 +171,28 @@ function sparse_train_tiny() {
         --output sparse_models/deit_tiny_topk_hybrid $OPTIONS
 }
 
+function sparse_e2e() {
+    # ONE recorded end-to-end movement-pruning artifact (VERDICT r3 #4):
+    # preset -> sparse_train (short synthetic schedule; --data-dir works
+    # when ImageNet is present) -> compile to static shrunken shapes ->
+    # convert int8 (artifact embeds the compiled config) -> benchmark +
+    # quant_accuracy of the compiled model, recorded into the sweep jsonl.
+    OUT=${SPARSE_E2E_DIR:-$PWD/sparse_models/e2e_tiny}
+    SWEEP=${SWEEP_FILE:-bench_sweep_r4.jsonl}
+    $CLI sparse_train --model deit_tiny \
+        --preset topk-hybrid-struct-layerwise-tiny \
+        --synthetic 8 --steps 120 --batch 16 --final-finetune-steps 24 \
+        --output "$OUT/ckpt" $OPTIONS | tee /tmp/sparse_e2e_train.out
+    $CLI convert --checkpoint "$OUT/ckpt" --quantization int8 \
+        --model deit_tiny --output "$OUT/int8" | tee /tmp/sparse_e2e_conv.out
+    $CLI benchmark --quantized-checkpoint "$OUT/int8" --batch 1 \
+        --iters 200 --repeats 5 | tee /tmp/sparse_e2e_b1.out
+    $CLI benchmark --quantized-checkpoint "$OUT/int8" --batch 128 \
+        --iters 50 --repeats 5 | tee /tmp/sparse_e2e_b128.out
+    $CLI quant_accuracy --checkpoint "$OUT/ckpt" | tee /tmp/sparse_e2e_qa.out
+    python tools/record_sparse_e2e.py "$SWEEP"
+}
+
 function finetune_tiny() {
     $CLI finetune --model deit_tiny --data-dir "$IMAGENET_DIR" \
         --optimizer sgd --epochs 1 --batch 64 --lr-scale-batch 512 \

@@ -374,3 +374,51 @@ def test_t2t_int8_static_end_to_end():
     ym = np.asarray(int8_t2t_apply_static(
         model, quantize_vit_params_int8_static(v, mse), x))
     assert np.abs(ym - ref).max() / denom < 0.15
+
+
+def test_t2t_stem_int8_static():
+    """Stem static-int8 (stage-1/2 kqv + projection on the int8 MXU path,
+    VERDICT r3 directive #5): calibrated scales are sane, the quantized
+    stem tracks the float tokenizer within the int8 envelope end-to-end,
+    and the b1 fast form composes (kqv1 stays float there by design)."""
+    from edgevisiontransformer_tpu.models.t2t_vit import (
+        calibrate_t2t_stem,
+        fused_t2t_apply_int8,
+        prepare_t2t_int8_static,
+        prepare_t2t_stem_int8_static,
+        t2t_tokenize,
+    )
+
+    cfg = t2t_vit_config(7, "reference", num_classes=6, depth=2)
+    model = T2TViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 224, 224))
+    v = model.init(jax.random.key(1), x[:1])
+
+    batches = [np.asarray(x)]
+    scales = calibrate_t2t_stem(model, v, batches=batches)
+    assert set(scales) == {"kqv1", "kqv2", "project"}
+    assert all(s > 0 for s in scales.values())
+
+    sq = prepare_t2t_stem_int8_static(model, v, batches=batches)
+    assert sq["project"]["q"].dtype == jnp.int8
+    # combined scale = w_scale * act_scale, one column per output channel
+    assert sq["kqv2"]["scale"].shape == (
+        v["params"]["tokens_to_token"]["performer2"]["kqv"]["kernel"].shape[1],)
+
+    ref_tok = np.asarray(t2t_tokenize(model, v, x, fast=False))
+    got_tok = np.asarray(t2t_tokenize(model, v, x, fast=False, stem_q=sq))
+    denom = np.abs(ref_tok).max() + 1e-9
+    assert got_tok.shape == ref_tok.shape
+    assert np.abs(got_tok - ref_tok).max() / denom < 0.15
+
+    # whole model: float vs encoder-int8 + stem-int8
+    ref = np.asarray(model.apply(v, x))
+    enc_q = prepare_t2t_int8_static(model, v, calib_batches=batches)
+    ys = np.asarray(fused_t2t_apply_int8(model, v, x, enc_q, stem_q=sq))
+    d = np.abs(ref).max() + 1e-9
+    assert np.abs(ys - ref).max() / d < 0.2
+    assert (ys.argmax(-1) == ref.argmax(-1)).all()
+
+    # fast (b1) form: kqv1 float, kqv2/project int8 — still composes
+    got_fast = np.asarray(t2t_tokenize(model, v, x[:1], fast=True, stem_q=sq))
+    assert got_fast.shape == (1,) + ref_tok.shape[1:]

@@ -43,8 +43,10 @@ from edgevisiontransformer_tpu.models.t2t_vit import (  # noqa: E402
     get_t2t_vit,
     prepare_t2t_fused,
     prepare_t2t_int8_static,
+    prepare_t2t_stem_int8_static,
     t2t_tokenize,
 )
+from edgevisiontransformer_tpu.ops.quant import int8_matmul_static  # noqa: E402
 from edgevisiontransformer_tpu.ops.attention import encoder_forward_xla  # noqa: E402
 from edgevisiontransformer_tpu.ops.layers import layer_norm  # noqa: E402
 from edgevisiontransformer_tpu.ops.pallas.fused_encoder import (  # noqa: E402
@@ -125,14 +127,45 @@ def spans(model, variables, batch):
                                       cfg=cfg, batch_block=None,
                                       variant="auto")
 
+    stq = prepare_t2t_stem_int8_static(model, variables, n=8)
+
+    def s1_int8(q1, im):
+        p1 = tok["performer1"]
+        x = unfold(im, 7, 4, 2)
+        x = layer_norm(x, p1["norm1_scale"], p1["norm1_bias"], eps)
+        x = int8_matmul_static(x, q1["q"], q1["scale"], q1["act_scale"])
+        return x + q1["bias"].astype(dt) if "bias" in q1 else x
+
+    def s2_int8(q2, x):
+        b = x.shape[0]
+        p2 = tok["performer2"]
+        x = x.reshape(b, 56, 56, ts).transpose(0, 3, 1, 2)
+        x = unfold(x, 3, 2, 1)
+        x = layer_norm(x, p2["norm1_scale"], p2["norm1_bias"], eps)
+        x = int8_matmul_static(x, q2["q"], q2["scale"], q2["act_scale"])
+        return x + q2["bias"].astype(dt) if "bias" in q2 else x
+
+    def s3_int8(qp, x):
+        b = x.shape[0]
+        x = x.reshape(b, 28, 28, ts).transpose(0, 3, 1, 2)
+        x = unfold(x, 3, 2, 1)
+        return (int8_matmul_static(x, qp["q"], qp["scale"], qp["act_scale"])
+                + qp["bias"].astype(dt))
+
     out = {
         "s1_kqv_plain": (s1_plain, (tok["performer1"], img)),
         "s1_kqv_fast": (s1_fast, (prep, img)),
+        "s1_kqv_int8": (s1_int8, (stq["kqv1"], img)),
         "perf1": (perf, (tok["performer1"], c1, xk1)),
         "s2_kqv": (s2, (tok["performer2"], x1)),
+        "s2_kqv_int8": (s2_int8, (stq["kqv2"], x1)),
         "perf2": (perf, (tok["performer2"], c2, xk2)),
         "project": (s3, (tok["project"], x2)),
+        "project_int8": (s3_int8, (stq["project"], x2)),
         "stem": (lambda v, im: t2t_tokenize(model, v, im), (variables, img)),
+        "stem_int8": (
+            lambda v, st, im: t2t_tokenize(model, v, im, stem_q=st),
+            (variables, stq, img)),
         "enc_xla": (enc_xla, (stacked, xe)),
         "enc_int8_static": (enc_int8, (sq, xe)),
         "full_fused": (lambda v, pr, im: fused_t2t_apply(model, v, im, pr),
@@ -141,6 +174,10 @@ def spans(model, variables, batch):
             lambda v, q, pr, im: fused_t2t_apply_int8(model, v, im, q,
                                                       prepared=pr),
             (variables, sq, prep, img)),
+        "full_int8_stem": (
+            lambda v, q, pr, st, im: fused_t2t_apply_int8(
+                model, v, im, q, prepared=pr, stem_q=st),
+            (variables, sq, prep, stq, img)),
     }
     return out
 
