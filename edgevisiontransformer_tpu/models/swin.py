@@ -516,8 +516,12 @@ def prepare_swin_int8(model: "SwinTransformer", variables,
         # that DMA binds (big dims).  Stage 0 (dim<128) measured a LOSS:
         # swin_tiny b1 int8-all-stages 0.294 vs bf16 0.266 ms (the per-row
         # dynamic act quant at R=3584 rows costs more than the ~150 KB/block
-        # weight saving), int8 stages 1-3 won round 2.  Keep big dims only
-        # (tests override min_dim to exercise tiny configs).
+        # weight saving), int8 stages 1-3 won round 2.  Re-probed round 4
+        # with STATIC scales (tools/probe_swin_stage0_int8.py, 3 interleaved
+        # rounds): still loses — b1 0.0821 vs 0.0815, b32 2.431 vs 2.385
+        # (-0.8%/-1.9%) — stage 0 is VPU-floor-bound (64-window softmax at
+        # dim 96), not weight-DMA-bound, so the int8 MXU rate buys nothing.
+        # Keep big dims only (tests override min_dim for tiny configs).
         if g.dim < min_dim:
             continue
         if g.nwin >= 1 and swin_stage_pipelined_fits(

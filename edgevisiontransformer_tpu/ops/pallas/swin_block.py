@@ -47,6 +47,13 @@ from .mathlib import gelu_kernel
 _NEG = -1e30
 _LOG2E = 1.4426950408889634
 
+# Diagnostic-only compile-time ablation for the whole-stage kernel's cost
+# attribution (tools/probe_swin_ablate.py): None (production) | "nosoftmax"
+# (scores pass through exp-less: attributes the padded-lane VPU softmax) |
+# "noattn" (per-head sdpa loop skipped) | "nomlp".  Read at TRACE time, so
+# the default path carries zero runtime cost; never set outside probes.
+_ABLATE = None
+
 
 def _ln(x, g, b, eps):
     xf = x.astype(jnp.float32)
@@ -411,7 +418,7 @@ def _swin_stage_kernel_pipelined(
                 + qkv_b[li]
             )
         outs = []
-        for i in range(heads):
+        for i in range(heads if _ABLATE != "noattn" else 0):
             q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd].reshape(gb, pn, hd)
             k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd].reshape(gb, pn, hd)
             v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd].reshape(gb, pn, hd)
@@ -423,16 +430,21 @@ def _swin_stage_kernel_pipelined(
             if use_mask:
                 s = (s.reshape(gm, nwin, pn, pn) + mask_ref[:][None]
                      ).reshape(gb, pn, pn)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
-            r = jnp.sum(p, axis=-1, keepdims=True)
+            if _ABLATE == "nosoftmax":
+                p, r = s, jnp.float32(1.0)  # diagnostic: wrong numerics
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m)
+                r = jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(
                 p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            o = o * pl.reciprocal(r, approx=False)
+            if _ABLATE != "nosoftmax":
+                o = o * pl.reciprocal(r, approx=False)
             outs.append(o.astype(dtype).reshape(gb * pn, hd))
-        att = jnp.concatenate(outs, axis=-1)
+        att = (jnp.concatenate(outs, axis=-1) if outs
+               else qkv[:, :heads * hd])
         if int8:
             attn_out = (imm(att, proj_buf[slot], proj_s[li], 1)[:, :c]
                         + proj_b[li].astype(jnp.float32))
@@ -443,6 +455,8 @@ def _swin_stage_kernel_pipelined(
                 + proj_b[li].astype(jnp.float32)
             )
         x = (attn_out + x.astype(jnp.float32)).astype(dtype)
+        if _ABLATE == "nomlp":
+            return x
 
         h2 = _ln(x, ln2_g[li], ln2_b[li], eps).astype(dtype)
         if int8:

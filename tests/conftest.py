@@ -27,3 +27,32 @@ from edgevisiontransformer_tpu.ops.pallas.common import (  # noqa: E402
 )
 
 install_block_spec_validator()
+
+
+# --- quick smoke subset (`pytest -m quick`, CLAUDE.md Testing) --------------
+# Marker assignment lives here (single source of truth) so heavyweight
+# individual tests inside otherwise-fast modules can be excluded: the smoke
+# target is < 3 min on this 1-CPU host.
+
+QUICK_FILES = {
+    "test_flops.py", "test_pruning.py", "test_profile_analyse.py",
+    "test_bench_gate.py", "test_benchmarks_md.py",
+    "test_headline_to_sweep.py", "test_pallas_kernels.py",
+}
+QUICK_EXCLUDE = {
+    # >= ~15 s each (pytest --durations): together they push the smoke
+    # run past 3 min; the full suite still runs them
+    "test_fused_encoder_head_packed",
+    "test_pipelined_encoder_matches_plain",
+    "test_fused_encoder_uniform_pruned",
+    "test_head_importance_matches_direct_grad",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        base = item.name.split("[")[0]
+        if item.path.name in QUICK_FILES and base not in QUICK_EXCLUDE:
+            item.add_marker(pytest.mark.quick)

@@ -15,8 +15,6 @@ from edgevisiontransformer_tpu.utils.flops import (
     vit_flops,
 )
 
-pytestmark = pytest.mark.quick
-
 
 def test_deit_flops_golden():
     assert vit_flops(h=192, l=12) == 2548260836

@@ -8,8 +8,6 @@ import importlib.util
 import json
 import pathlib
 
-pytestmark = pytest.mark.quick
-
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 

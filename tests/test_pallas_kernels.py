@@ -13,8 +13,6 @@ from edgevisiontransformer_tpu.ops import layers as layers_ref
 from edgevisiontransformer_tpu.ops.activations import get_gelu
 from edgevisiontransformer_tpu.ops.pallas import fused_attention, fused_mlp, layernorm
 
-pytestmark = pytest.mark.quick
-
 
 @pytest.mark.parametrize("b,h,n,d", [(1, 3, 197, 64), (2, 2, 50, 32)])
 def test_pallas_sdpa_matches_reference(b, h, n, d):

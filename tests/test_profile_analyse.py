@@ -17,8 +17,6 @@ from edgevisiontransformer_tpu.bench.analyse import (
 from edgevisiontransformer_tpu.bench.profile import profile_vit, write_profile_csv
 from edgevisiontransformer_tpu.models.vit import ViT, deit_config
 
-pytestmark = pytest.mark.quick
-
 
 def _csv_repr(v: float) -> float:
     """avg_ms exactly as it survives the "%.6f" CSV round trip."""

@@ -20,8 +20,6 @@ from edgevisiontransformer_tpu.pruning import (
 )
 from edgevisiontransformer_tpu.pruning.head_importance import vit_forward_head_mask
 
-pytestmark = pytest.mark.quick
-
 
 def _cfg(**kw):
     return deit_config("tiny").replace(

@@ -162,10 +162,14 @@ def spans(model, variables, batch):
         "perf2": (perf, (tok["performer2"], c2, xk2)),
         "project": (s3, (tok["project"], x2)),
         "project_int8": (s3_int8, (stq["project"], x2)),
-        "stem": (lambda v, im: t2t_tokenize(model, v, im), (variables, img)),
+        # prepared MUST ride as an argument: t2t_tokenize would otherwise
+        # call prepare_t2t_fused on traced params (np ops on tracers)
+        "stem": (lambda v, pr2, im: t2t_tokenize(model, v, im, prepared=pr2),
+                 (variables, prep, img)),
         "stem_int8": (
-            lambda v, st, im: t2t_tokenize(model, v, im, stem_q=st),
-            (variables, stq, img)),
+            lambda v, pr2, st, im: t2t_tokenize(model, v, im, prepared=pr2,
+                                                stem_q=st),
+            (variables, prep, stq, img)),
         "enc_xla": (enc_xla, (stacked, xe)),
         "enc_int8_static": (enc_int8, (sq, xe)),
         "full_fused": (lambda v, pr, im: fused_t2t_apply(model, v, im, pr),
