@@ -326,10 +326,17 @@ def _performer_rest(x_kqv, p, consts, cfg, emb: int):
     return y + h
 
 
+# Flip to True once the stage-1 kernel's TPU A/B lands (probe_t2t_stem):
+# "auto" stage1_impl then routes the fast (b<8) path through
+# ops/pallas/t2t_stage1.stage1_kqv_kernel instead of fast_stage1_kqv.
+_STAGE1_KERNEL_DEFAULT = False
+
+
 def t2t_tokenize(model: "T2TViT", variables, img: jax.Array,
                  prepared: dict | None = None,
                  fast: bool | None = None,
-                 stem_q: dict | None = None) -> jax.Array:
+                 stem_q: dict | None = None,
+                 stage1_impl: str = "auto") -> jax.Array:
     """Tokens-to-token stem + cls + sinusoid pos: everything before the
     encoder, shared by the fused bf16/int8 paths and the static-int8
     calibration collector (ops/quant.calibrate_t2t).
@@ -379,8 +386,17 @@ def t2t_tokenize(model: "T2TViT", variables, img: jax.Array,
     else:
         if prepared is None:
             prepared = prepare_t2t_fused(model, variables)
-        x = fast_stage1_kqv(img, prepared["W9"], prepared["M9"],
-                            prepared["c1"], prepared["c2"])
+        if stage1_impl == "kernel" or (stage1_impl == "auto"
+                                       and _STAGE1_KERNEL_DEFAULT):
+            from ..ops.pallas.t2t_stage1 import stage1_kqv_kernel
+
+            x = stage1_kqv_kernel(img, prepared["W9"].astype(dt),
+                                  prepared["M9"], prepared["c1"],
+                                  prepared["c2"],
+                                  eps=TokenPerformer.layernorm_eps)
+        else:
+            x = fast_stage1_kqv(img, prepared["W9"], prepared["M9"],
+                                prepared["c1"], prepared["c2"])
     ts = tok["performer1"]["mlp_fc1_kernel"].shape[0]  # token_size
     x = _performer_dispatch(x, tok["performer1"],
                             tok_c.get("performer1") or _perf_const(model, variables, 1),

@@ -422,3 +422,35 @@ def test_t2t_stem_int8_static():
     # fast (b1) form: kqv1 float, kqv2/project int8 — still composes
     got_fast = np.asarray(t2t_tokenize(model, v, x[:1], fast=True, stem_q=sq))
     assert got_fast.shape == (1,) + ref_tok.shape[1:]
+
+
+def test_stage1_kqv_kernel_matches_fast_form():
+    """ops/pallas/t2t_stage1: the fused shift-concat+kqv+LN kernel must
+    reproduce fast_stage1_kqv (itself parity-tested against the plain
+    unfold tokenizer) bit-near in bf16 and fp32."""
+    from edgevisiontransformer_tpu.models.t2t_vit import (
+        fast_stage1_kqv,
+        prepare_t2t_fused,
+    )
+    from edgevisiontransformer_tpu.ops.pallas.t2t_stage1 import (
+        stage1_kqv_kernel,
+    )
+
+    cfg = t2t_vit_config(7, "reference", num_classes=6, depth=1)
+    model = T2TViT(cfg)
+    x32 = jax.random.normal(jax.random.key(0), (2, 3, 224, 224))
+    v = model.init(jax.random.key(1), x32[:1])
+    prep = prepare_t2t_fused(model, v)
+    eps = TokenPerformer.layernorm_eps
+
+    for dt, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 0.04)):
+        x = x32.astype(dt)
+        ref = np.asarray(fast_stage1_kqv(
+            x, prep["W9"].astype(dt), prep["M9"].astype(dt),
+            prep["c1"], prep["c2"], eps=eps)).astype(np.float32)
+        got = np.asarray(stage1_kqv_kernel(
+            x, prep["W9"].astype(dt), prep["M9"], prep["c1"], prep["c2"],
+            eps=eps)).astype(np.float32)
+        assert got.shape == ref.shape == (2, 3136, 192)
+        denom = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / denom < tol, dt

@@ -152,9 +152,26 @@ def spans(model, variables, batch):
         return (int8_matmul_static(x, qp["q"], qp["scale"], qp["act_scale"])
                 + qp["bias"].astype(dt))
 
+    def s1_relayout(im):
+        # the fast form's s2d relayout alone (fast_stage1_kqv's first part)
+        b = im.shape[0]
+        t = im.reshape(b, 3, 56, 4, 56, 4)
+        t = jnp.transpose(t, (0, 2, 4, 1, 3, 5)).reshape(b, 56, 56, 48)
+        return jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    from edgevisiontransformer_tpu.ops.pallas.t2t_stage1 import (
+        stage1_kqv_kernel,
+    )
+
+    def s1_kernel(pr, im):
+        return stage1_kqv_kernel(im, pr["W9"].astype(dt), pr["M9"],
+                                 pr["c1"], pr["c2"], eps=eps)
+
     out = {
         "s1_kqv_plain": (s1_plain, (tok["performer1"], img)),
         "s1_kqv_fast": (s1_fast, (prep, img)),
+        "s1_kqv_kernel": (s1_kernel, (prep, img)),
+        "s1_relayout": (s1_relayout, (img,)),
         "s1_kqv_int8": (s1_int8, (stq["kqv1"], img)),
         "perf1": (perf, (tok["performer1"], c1, xk1)),
         "s2_kqv": (s2, (tok["performer2"], x1)),
@@ -206,8 +223,15 @@ def main():
         best = {}
         for rnd in range(args.rounds):
             for name, (fn, fargs) in sp.items():
-                r = measure_op_time(fn, fargs, iters=iters, repeats=3,
-                                    chain_arg=-1)
+                try:
+                    r = measure_op_time(fn, fargs, iters=iters, repeats=3,
+                                        chain_arg=-1)
+                except Exception as e:  # e.g. a Mosaic lowering rejection
+                    print(json.dumps({
+                        "probe": f"t2t{args.variant}_stem", "batch": batch,
+                        "span": name, "round": rnd,
+                        "error": str(e).splitlines()[0][:300]}), flush=True)
+                    continue
                 best[name] = min(best.get(name, 1e9), r["p50_ms"])
                 print(json.dumps({
                     "probe": f"t2t{args.variant}_stem", "batch": batch,
@@ -215,13 +239,16 @@ def main():
                     "p50_ms": round(r["p50_ms"], 5),
                     "std_ms": round(r["std_ms"], 5),
                     "iters": r["iters"]}), flush=True)
-        stem_sum = sum(best[k] for k in
+        g = lambda k: best.get(k, float("nan"))
+        stem_sum = sum(g(k) for k in
                        ("s1_kqv_plain" if batch >= 8 else "s1_kqv_fast",
                         "perf1", "s2_kqv", "perf2", "project"))
-        print(f"b{batch}: stem {best['stem']:.4f} (span-sum {stem_sum:.4f}) "
-              f"enc_xla {best['enc_xla']:.4f} "
-              f"enc_int8 {best['enc_int8_static']:.4f} | full fused "
-              f"{best['full_fused']:.4f} int8 {best['full_int8_static']:.4f}",
+        print(f"b{batch}: stem {g('stem'):.4f} (span-sum {stem_sum:.4f}) "
+              f"enc_xla {g('enc_xla'):.4f} "
+              f"enc_int8 {g('enc_int8_static'):.4f} | full fused "
+              f"{g('full_fused'):.4f} int8 {g('full_int8_static'):.4f} "
+              f"int8+stem {g('full_int8_stem'):.4f} | s1 kernel "
+              f"{g('s1_kqv_kernel'):.4f} vs fast {g('s1_kqv_fast'):.4f}",
               flush=True)
 
 
