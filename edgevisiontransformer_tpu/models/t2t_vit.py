@@ -326,10 +326,14 @@ def _performer_rest(x_kqv, p, consts, cfg, emb: int):
     return y + h
 
 
-# Flip to True once the stage-1 kernel's TPU A/B lands (probe_t2t_stem):
-# "auto" stage1_impl then routes the fast (b<8) path through
-# ops/pallas/t2t_stage1.stage1_kqv_kernel instead of fast_stage1_kqv.
-_STAGE1_KERNEL_DEFAULT = False
+# Measured on TPU (tools/probe_t2t_stem.py, 2 interleaved rounds, t2t_7):
+# the fused stage-1 kernel wins the b<8 path 0.0294-0.0316 vs
+# fast_stage1_kqv 0.0451-0.0514 ms (35-39%) — of which the XLA s2d
+# relayout is 0.024; at b32 the plain-unfold matmul stays best (0.318 vs
+# kernel 0.386 vs fast 0.970: the 3x-FLOP shift expansion loses once
+# batch amortizes dispatches), so "auto" uses the kernel only in the fast
+# branch.
+_STAGE1_KERNEL_DEFAULT = True
 
 
 def t2t_tokenize(model: "T2TViT", variables, img: jax.Array,

@@ -17,6 +17,7 @@ on the MXU with int32 accumulation (v5e int8 peak is 2x bf16).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -104,6 +105,54 @@ def fake_quant_vit_encoder(params):
             blk[sub] = sd
         p[name] = blk
     return {"params": p} if had_wrapper else p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def fake_quant_act_ste(x: jax.Array, scale: float) -> jax.Array:
+    """Static-QAT activation fake quant: symmetric int8 round-trip at a
+    FIXED calibrated scale with a straight-through gradient.  Composes with
+    the weight STE into a static-int8-aware training forward
+    (fake_quant_vit_apply_static) — the analogue of the reference FX-QAT's
+    activation observers (vendor nn_pruning/modules/quantization.py), which
+    weight-only QAT lacks (measured: 300-step weight-only QAT *hurts*
+    static-int8 drift while helping dynamic — BENCHMARKS qat_payoff)."""
+    q = jnp.clip(jnp.round(x / scale), -127, 127)
+    return (q * scale).astype(x.dtype)
+
+
+def _fqa_fwd(x, scale):
+    # fwd takes the primal signature; bwd gets nondiff args first
+    return fake_quant_act_ste(x, scale), None
+
+
+def _fqa_bwd(scale, _, g):
+    return (g,)
+
+
+fake_quant_act_ste.defvjp(_fqa_fwd, _fqa_bwd)
+
+
+def fake_quant_vit_apply_static(model, params, act_scales, img: jax.Array):
+    """Differentiable ViT forward that sees exactly the static-int8
+    deployment quantization: every encoder matmul runs fq(x; calibrated
+    scale) @ fq(w) with STE grads (embeddings/head float, like the
+    deployment kernels).  ``act_scales`` [depth, 4] from calibrate_vit —
+    fixed during training (calibrate once at init)."""
+    import itertools
+
+    cfg = model.config
+    p = params["params"] if "params" in params else params
+    scales = np.asarray(act_scales, np.float32)
+    counter = itertools.count()
+
+    def mm(x_, w):
+        k = next(counter)
+        i, j = divmod(k, 4)
+        xq = fake_quant_act_ste(x_, float(scales[i, j]))
+        return xq @ fake_quant_ste(w).astype(xq.dtype)
+
+    x = _int8_encoder_blocks(cfg, p, _embed_vit(cfg, p, img), mm)
+    return _vit_head(cfg, p, x)
 
 
 def quantize_activation_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:

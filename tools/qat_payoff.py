@@ -43,6 +43,7 @@ import optax  # noqa: E402
 from edgevisiontransformer_tpu.cli import _build_model  # noqa: E402
 from edgevisiontransformer_tpu.ops.quant import (  # noqa: E402
     calibrate_vit,
+    fake_quant_vit_apply_static,
     fake_quant_vit_encoder,
     int8_vit_apply,
     int8_vit_apply_static,
@@ -140,6 +141,12 @@ def main():
 
     plain_apply = lambda p, x: model.apply(p, x)
     qat_apply = lambda p, x: model.apply(fake_quant_vit_encoder(p), x)
+    # static-aware QAT: activation fake-quant at the calibrated INIT scales
+    # (fixed through training) + weight STE — the deployment quantizer
+    # end-to-end, like the reference FX-QAT's activation observers
+    scales0 = calibrate_vit(model, params0, n=args.calib_batches)
+    qat_static_apply = lambda p, x: fake_quant_vit_apply_static(
+        model, p, scales0, x)
 
     results = {"config": {k: getattr(args, k) for k in
                           ("model", "steps", "n_batches", "batch", "lr",
@@ -148,16 +155,17 @@ def main():
                                   train_batches, args.calib_batches)
     print("init drift:", json.dumps(results["init"]), flush=True)
 
-    for tag, apply_fn in (("plain", plain_apply), ("qat", qat_apply)):
+    for tag, apply_fn in (("plain", plain_apply), ("qat", qat_apply),
+                          ("qat_static", qat_static_apply)):
         p = train(model, params0, apply_fn, train_batches, epochs,
                   args.lr, tag)
         results[tag] = drift_stats(model, p, eval_batches, train_batches,
                                    args.calib_batches)
         print(f"{tag} drift:", json.dumps(results[tag]), flush=True)
 
-    print(f"\n{'model':<8} {'mode':<14} {'max|dlogit|':>12} {'max rel':>9} "
+    print(f"\n{'model':<10} {'mode':<14} {'max|dlogit|':>12} {'max rel':>9} "
           f"{'argmax agree':>13} {'train acc fp32->int8':>22}")
-    for tag in ("init", "plain", "qat"):
+    for tag in ("init", "plain", "qat", "qat_static"):
         r = results[tag]
         for m in ("dynamic_int8", "static_int8"):
             st = r[m]
@@ -165,7 +173,7 @@ def main():
             accs = (f"{acc['fp32']}/{acc['n']} -> "
                     f"{acc['static_int8']}/{acc['n']}"
                     if m == "static_int8" else "")
-            print(f"{tag:<8} {m:<14} {st['max_abs']:>12.4f} "
+            print(f"{tag:<10} {m:<14} {st['max_abs']:>12.4f} "
                   f"{st['max_rel']:>9.4f} {st['agree']:>6}/{st['n']:<6} "
                   f"{accs:>22}")
     print(json.dumps(results))
