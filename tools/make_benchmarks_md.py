@@ -171,7 +171,7 @@ def main(*paths):
                 "latency_predictor", "latency_predictor_small",
                 "latency_predictor_base", "latency_predictor_int8",
                 "data_pipeline", "swin_stage_decomposition",
-                "t2t_stem_decomposition"):
+                "swin_ablation_b32", "t2t_stem_decomposition"):
         if key in extras:
             lines += ["", f"## {key}", "", "```json",
                       json.dumps(extras[key], indent=2), "```"]
