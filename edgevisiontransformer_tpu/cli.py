@@ -1628,8 +1628,9 @@ def cmd_plot(argv):
     measured latency-vs-MACs scatter from a sweep jsonl."""
     p = argparse.ArgumentParser(prog="plot")
     p.add_argument("which", choices=["macs_accuracy", "latency_macs"])
-    p.add_argument("--sweep", default=None,
-                   help="latency_macs: bench sweep jsonl of measured rows")
+    p.add_argument("--sweep", default=None, nargs="+",
+                   help="latency_macs: bench sweep jsonl(s) of measured "
+                        "rows (several files merge; best ms per row wins)")
     p.add_argument("--batch", type=int, default=1,
                    help="latency_macs: which batch's rows to plot")
     p.add_argument("--output", default=None)
@@ -1645,19 +1646,20 @@ def cmd_plot(argv):
         from .utils.flops import bench_row_flops
 
         best = {}
-        with open(args.sweep) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                d = json.loads(line)
-                if "ms" not in d or d.get("batch") != args.batch:
-                    continue
-                fl = bench_row_flops(d["name"])
-                if not fl:
-                    continue
-                if d["name"] not in best or d["ms"] < best[d["name"]][1]:
-                    best[d["name"]] = (fl / 2e9, d["ms"])  # GMACs, ms
+        for path in args.sweep:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    d = json.loads(line)
+                    if "ms" not in d or d.get("batch") != args.batch:
+                        continue
+                    fl = bench_row_flops(d["name"])
+                    if not fl:
+                        continue
+                    if d["name"] not in best or d["ms"] < best[d["name"]][1]:
+                        best[d["name"]] = (fl / 2e9, d["ms"])  # GMACs, ms
         if not best:
             raise SystemExit(f"no plottable b{args.batch} rows in "
                              f"{args.sweep}")

@@ -62,8 +62,9 @@ function bench_gate() {
     # warns.  Rows also feed the sweep jsonl so the published table and the
     # gate share measurements.  Re-baseline: ./run.sh bench_gate --update
     PYTHONPATH=.:$PYTHONPATH python tools/bench_gate.py \
-        --sweep-out bench_sweep_r3.jsonl $OPTIONS
-    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl BENCHMARKS.md
+        --sweep-out "${SWEEP_FILE:-bench_sweep_r4.jsonl}" $OPTIONS
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl \
+        "${SWEEP_FILE:-bench_sweep_r4.jsonl}" BENCHMARKS.md
 }
 
 function remeasure() {
@@ -72,18 +73,18 @@ function remeasure() {
     # by a table re-render.  Run with an idle host: a loaded host can
     # corrupt rounds even through the loop-delta timer.
     PYTHONPATH=.:$PYTHONPATH python tools/remeasure_rows.py \
-        bench_sweep_r3.jsonl $OPTIONS
-    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl BENCHMARKS.md
+        "${SWEEP_FILE:-bench_sweep_r4.jsonl}" $OPTIONS
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl "${SWEEP_FILE:-bench_sweep_r4.jsonl}" BENCHMARKS.md
 }
 
 function full_sweep() {
     # one jsonl per same-code measurement campaign (the generator keeps the
     # fastest p50 per row across sessions — only valid for identical code)
-    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py bench_sweep_r3.jsonl
-    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl BENCHMARKS.md
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py "${SWEEP_FILE:-bench_sweep_r4.jsonl}"
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl "${SWEEP_FILE:-bench_sweep_r4.jsonl}" BENCHMARKS.md
     # draw.py-style figures from the same campaign
     $CLI plot macs_accuracy --output macs_accuracy.png || true
-    $CLI plot latency_macs --sweep bench_sweep_r3.jsonl --batch 1 \
+    $CLI plot latency_macs --sweep bench_sweep_r3.jsonl "${SWEEP_FILE:-bench_sweep_r4.jsonl}" --batch 1 \
         --output latency_macs.png || true
 }
 
@@ -95,7 +96,7 @@ function r3_pending() {
     # (the shipped csv predates the 120 ms-delta fix and is noise:
     # corr(MACs, ms) = 0.22).  Safe to re-run: the sweep jsonl keeps the
     # fastest p50 per row and quant_accuracy/latency sections override.
-    SWEEP=bench_sweep_r3.jsonl
+    SWEEP="${SWEEP_FILE:-bench_sweep_r4.jsonl}"
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=t2t
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=swin
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=vit
@@ -114,7 +115,7 @@ function r4_pending() {
     # the int4 weight-streaming decision probe, and the remat training
     # A/B rows (train_cases now includes deit_base b16/b64 --remat with
     # --report-memory).
-    SWEEP=bench_sweep_r3.jsonl
+    SWEEP="${SWEEP_FILE:-bench_sweep_r4.jsonl}"
     PYTHONPATH=.:$PYTHONPATH python tools/memory_table.py $SWEEP
     PYTHONPATH=.:$PYTHONPATH python tools/probe_int4.py || true
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=train
@@ -127,7 +128,7 @@ function r5_pending() {
     # migration rows), and real-chip device-trace captures with the §4.4
     # per-op-sum reconciliation printed (trace mode is unit-tested off-TPU;
     # this records the on-hardware run).
-    SWEEP=bench_sweep_r3.jsonl
+    SWEEP="${SWEEP_FILE:-bench_sweep_r4.jsonl}"
     bench_gate
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=quant_accuracy
     python tools/make_benchmarks_md.py $SWEEP BENCHMARKS.md
@@ -217,9 +218,9 @@ for line in open("/tmp/lat_fit.out"):
     if line.startswith("{"):
         metrics = json.loads(line)
 if metrics:
-    with open("bench_sweep_r3.jsonl", "a") as f:
+    with open(os.environ.get("SWEEP_FILE", "bench_sweep_r4.jsonl"), "a") as f:
         f.write(json.dumps({"latency_predictor": metrics}) + "\n")
-    print("metrics appended to bench_sweep_r3.jsonl")
+    print("metrics appended to the sweep jsonl")
 PYEOF
     $CLI latency_model predict --predictor latency_tiny.pkl \
         --encoding "h_2_d_0.5-h_2_d_0.5-h_1_d_0.3-h_1_d_0.3-h_3_d_0.7-h_2_d_0.5-h_2_d_0.5-h_1_d_1.0-h_1_d_0.3-h_2_d_0.3-h_3_d_1.0-h_1_d_0.5"
@@ -242,9 +243,9 @@ for line in open("/tmp/lat_fit_sz.out"):
         metrics = json.loads(line)
 if metrics:
     key = "latency_predictor_" + os.environ["SIZE"]
-    with open("bench_sweep_r3.jsonl", "a") as f:
+    with open(os.environ.get("SWEEP_FILE", "bench_sweep_r4.jsonl"), "a") as f:
         f.write(json.dumps({key: metrics}) + "\n")
-    print("metrics appended to bench_sweep_r3.jsonl")
+    print("metrics appended to the sweep jsonl")
 PYEOF
 }
 
@@ -261,7 +262,7 @@ function data_pipeline() {
     # C++ hot loop vs native+workers); CPU-only, appends to the sweep jsonl
     PYTHONPATH=.:$PYTHONPATH python tools/data_pipeline_bench.py \
         bench_sweep_r3.jsonl
-    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl BENCHMARKS.md
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl "${SWEEP_FILE:-bench_sweep_r4.jsonl}" BENCHMARKS.md
 }
 
 if [ -z "$TASK" ] || ! declare -f "$TASK" > /dev/null; then
