@@ -388,3 +388,51 @@ def test_smooth_vit_shrinks_outlier_channels_and_quantizes():
         return np.abs(out - ref).max()
 
     assert max_err(psm) < max_err(params), (max_err(psm), max_err(params))
+
+
+def test_fake_quant_vit_apply_static_matches_deployment_and_grads():
+    """Static-aware QAT forward (ops/quant.fake_quant_vit_apply_static):
+    (a) sees the deployment quantization — its logits match
+    int8_vit_apply_static on the statically-quantized tree (same quant
+    points: per-channel weight absmax x calibrated per-tensor act scale);
+    (b) is differentiable with straight-through grads (nonzero, finite)."""
+    import numpy as np
+
+    from edgevisiontransformer_tpu.models.vit import ViT, deit_config
+    from edgevisiontransformer_tpu.ops.quant import (
+        calibrate_vit,
+        fake_quant_act_ste,
+        fake_quant_vit_apply_static,
+        int8_vit_apply_static,
+        quantize_vit_params_int8_static,
+    )
+
+    cfg = deit_config("tiny").replace(depth=2, num_classes=7)
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 224, 224))
+    params = model.init(jax.random.key(1), x[:1])
+
+    scales = calibrate_vit(model, params, batches=[np.asarray(x)])
+    ref = np.asarray(int8_vit_apply_static(
+        model, quantize_vit_params_int8_static(params, scales), x))
+    got = np.asarray(fake_quant_vit_apply_static(model, params, scales, x))
+    denom = np.abs(ref).max() + 1e-9
+    # same quant points; the deployment kernel accumulates EXACTLY in
+    # int32 while the fq forward accumulates dequantized f32 products, and
+    # LN amplifies the difference across blocks — ~1e-2 relative
+    assert np.abs(got - ref).max() / denom < 2e-2
+
+    # STE: identity gradient through the activation fake-quant
+    g = jax.grad(lambda v: fake_quant_act_ste(v, 0.1).sum())(
+        jnp.array([0.33, -1.7]))
+    assert np.allclose(np.asarray(g), 1.0)
+
+    # whole-forward grads flow to the fake-quantized weights
+    def loss(p):
+        out = fake_quant_vit_apply_static(model, p, scales, x)
+        return (out ** 2).mean()
+
+    grads = jax.grad(loss)(params)
+    gleaf = grads["params"]["block_0"]["attn"]["qkv_kernel"]
+    gn = float(jnp.linalg.norm(gleaf))
+    assert np.isfinite(gn) and gn > 0
