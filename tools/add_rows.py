@@ -41,7 +41,11 @@ def main():
             "--model", model, "--batch", str(batch), "--kernel-mode", mode,
             "--iters", str(iters), "--repeats", str(repeats),
         ])
-        rows[row_key(model, batch, mode)] = {
+        # key includes the sample index: repeated specs are interleaved
+        # re-measurements and must ALL land in the sweep (the dedup there
+        # picks the best quiet row); a bare row_key silently kept only the
+        # last sample of a repeated spec
+        rows[f"{row_key(model, batch, mode)}#{len(rows)}"] = {
             "model": model, "batch": batch, "kernel_mode": mode,
             "ms": round(r["p50_ms"], 5), "std_ms": round(r["std_ms"], 5),
             "iters": r["iters"], "repeats": r["repeats"],

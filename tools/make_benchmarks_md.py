@@ -101,7 +101,9 @@ def main(*paths):
         "(~5-15% at serving batches) are not meaningful — dispatch decisions",
         "use interleaved same-window A/Bs (tools/remeasure_rows.py,",
         "tools/ab_t2t14_b32.py): t2t xla-vs-fused at b32 is a measured tie",
-        "for both t2t_7 and t2t_14; int8_static is the shipped best.",
+        "for both t2t_7 and t2t_14; int8_static is the shipped best",
+        "EXCEPT deit_tiny b32 and pruned-tiny b128, where fused bf16 wins",
+        "the r4 interleaved A/Bs (0.93 vs 1.01-1.05; 1.57 vs 1.76).",
         "Produced by",
         f"`tools/make_benchmarks_md.py` from `{'`, `'.join(raw_paths)}`.",
         "",
@@ -171,6 +173,7 @@ def main(*paths):
                 "latency_predictor", "latency_predictor_small",
                 "latency_predictor_base", "latency_predictor_int8",
                 "data_pipeline", "swin_stage_decomposition",
+                "swin_base_stage_decomposition",
                 "swin_ablation_b32", "t2t_stem_decomposition"):
         if key in extras:
             lines += ["", f"## {key}", "", "```json",
