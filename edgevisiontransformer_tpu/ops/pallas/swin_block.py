@@ -54,6 +54,23 @@ _LOG2E = 1.4426950408889634
 # the default path carries zero runtime cost; never set outside probes.
 _ABLATE = None
 
+# Max-free softmax: the normalization is already deferred (divide by r
+# after PV), so subtracting the row max is mathematically a no-op — its
+# only job is overflow safety, which a clamp provides: exp2(min(s, 120))
+# stays finite in f32 (2^120 < 3.4e38) and r sums representably.  Skipping
+# the max saves one lane-reduce + broadcast-subtract pass over the padded
+# [*, n_pad] scores per head per block (the r4 ablation measured softmax
+# at ~0.50 ms/stage at b32).  Scores are LN-bounded (O(+-30)); a >120
+# score would dominate softmax anyway, so the clamp only ties pathological
+# rows.  The r guard covers the all-underflow corner (r=0 -> div-by-0).
+# Measured ON (tools/probe_swin_nomax.py, 3 interleaved rounds, b32 bests):
+# stage0 2.17 vs 2.28 (+5.1%), stage1 1.05 vs 1.13 (+7.3%), stage2 1.59 vs
+# 1.76 (+9.2%), stage3 0.37 vs 0.39 (+5.2%); whole-model b1 0.215 vs 0.224
+# (+4.2%).  Output parity vs the max-subtracting form: 4.4e-3 max-rel in
+# bf16 (rounding-level), argmax identical.
+_SOFTMAX_NOMAX = True
+_SOFTMAX_CLAMP = 120.0
+
 
 def _ln(x, g, b, eps):
     xf = x.astype(jnp.float32)
@@ -432,6 +449,9 @@ def _swin_stage_kernel_pipelined(
                      ).reshape(gb, pn, pn)
             if _ABLATE == "nosoftmax":
                 p, r = s, jnp.float32(1.0)  # diagnostic: wrong numerics
+            elif _SOFTMAX_NOMAX:
+                p = jnp.exp2(jnp.minimum(s, _SOFTMAX_CLAMP))
+                r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
             else:
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp2(s - m)
