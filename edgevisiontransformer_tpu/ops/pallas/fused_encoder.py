@@ -59,6 +59,15 @@ def _ln(x, g, b, eps):
     )
 
 
+# Max-free softmax (same as ops/pallas/swin_block._SOFTMAX_NOMAX, measured
+# +4-9% there): normalization is deferred past PV, so the row-max subtract
+# is mathematically redundant — exp2(min(s, 120)) provides the overflow
+# safety (2^120 finite in f32; LN-bounded scores are O(+-30); a >120 score
+# would dominate softmax anyway).  Masked keys are -1e30 -> exp2 -> 0.
+_SOFTMAX_NOMAX = True
+_SOFTMAX_CLAMP = 120.0
+
+
 def _attention_rows(qkv, *, bm, n_pad, heads, head_dim, key_mask, scale, dtype):
     """Per-(image, head) exp2-softmax attention over the fused qkv columns.
 
@@ -80,9 +89,13 @@ def _attention_rows(qkv, *, bm, n_pad, heads, head_dim, key_mask, scale, dtype):
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * (scale * 1.4426950408889634)
             s = jnp.where(key_mask, s, -1e30)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
-            r = jnp.sum(p, axis=-1, keepdims=True)
+            if _SOFTMAX_NOMAX:
+                p = jnp.exp2(jnp.minimum(s, _SOFTMAX_CLAMP))
+                r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m)
+                r = jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
             parts.append(o * pl.reciprocal(r, approx=False))
         att_rows.append(jnp.concatenate(parts, axis=-1))
