@@ -77,27 +77,11 @@ def _full_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
     key_mask = col < seq_len
 
-    hd = head_dim
-    att_rows = []
-    for j in range(bm):
-        row0 = j * n_pad
-        parts = []
-        for i in range(heads):
-            q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
-            k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
-            v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            s = jnp.where(key_mask, s, -1e30)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            parts.append(
-                jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
-            )
-        att_rows.append(jnp.concatenate(parts, axis=-1))
-    att = jnp.concatenate(att_rows, axis=0).astype(dtype)
+    # shared helper: exp2 + deferred normalization + max-free softmax — the
+    # measured VPU-wall fixes land in every encoder copy at once
+    att = _attention_rows(qkv, bm=bm, n_pad=n_pad, heads=heads,
+                          head_dim=head_dim, key_mask=key_mask, scale=scale,
+                          dtype=dtype)
 
     attn_out = (
         jax.lax.dot(att, out_w_ref[0], preferred_element_type=jnp.float32)
