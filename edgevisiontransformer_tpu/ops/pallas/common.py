@@ -3,10 +3,45 @@
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# Max-free softmax clamp: normalization is deferred past PV in every kernel
+# that calls softmax_unnorm, so the row-max subtract is mathematically
+# redundant — exp2(min(s, CLAMP)) provides the overflow safety.  60 (not
+# 120): 2^60 ≈ 1.2e18, so even a pathological row where every one of
+# n_pad≈256 keys hits the clamp keeps r ≈ 3e20 and the f32 PV accumulator
+# ≈ 1e22 comfortably below f32 inf (3.4e38) — at 120 those overflowed to
+# inf/NaN instead of tying the row.  LN-bounded scores are O(±30), so the
+# two clamps behave identically on every realistic input.
+SOFTMAX_CLAMP = 60.0
+
+
+def softmax_unnorm(s, dtype, *, nomax: bool = True, clamp: float = SOFTMAX_CLAMP):
+    """Unnormalized softmax probabilities + row sums, shared by the ViT
+    fused-encoder and both Swin kernel families so numerics fixes cannot
+    diverge between copies.
+
+    Returns ``(p, r)`` with ``p`` the unnormalized exp2 scores (f32) and
+    ``r`` the row sums; callers divide AFTER the PV matmul (deferred
+    normalization — the measured VPU-wall optimization).  The max-free fast
+    path (measured +4-9%/stage in Swin, -2..-9% on ViT rows) is used for
+    bf16/f32; float16 falls back to the row-max subtract because
+    ``p.astype(f16)`` would overflow (f16 max 65504 < 2^CLAMP).  Masked
+    keys at -1e30 underflow to 0 either way; the 1e-30 floor on r covers
+    the all-masked corner (r=0 → div-by-0)."""
+    if nomax and dtype != jnp.float16:
+        p = jnp.exp2(jnp.minimum(s, clamp))
+        r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        r = jnp.sum(p, axis=-1, keepdims=True)
+    return p, r
 
 
 def use_interpret() -> bool:

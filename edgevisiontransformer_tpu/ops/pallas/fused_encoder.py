@@ -45,13 +45,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import common
 from .common import (default_batch_block, round_up, snap_batch_block,
-                     use_interpret)
+                     softmax_unnorm, use_interpret)
 from .mathlib import gelu_kernel
 
 
 def _ln(x, g, b, eps):
     xf = x.astype(jnp.float32)
+    if _ABLATE == "noln":  # diagnostic: passthrough (wrong numerics)
+        return xf
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     return (xf - mean) * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32) + b.astype(
@@ -60,12 +63,24 @@ def _ln(x, g, b, eps):
 
 
 # Max-free softmax (same as ops/pallas/swin_block._SOFTMAX_NOMAX, measured
-# +4-9% there): normalization is deferred past PV, so the row-max subtract
-# is mathematically redundant — exp2(min(s, 120)) provides the overflow
-# safety (2^120 finite in f32; LN-bounded scores are O(+-30); a >120 score
-# would dominate softmax anyway).  Masked keys are -1e30 -> exp2 -> 0.
+# +4-9% there); the shared dtype-aware implementation lives in
+# common.softmax_unnorm (fp16-safe fallback + clamp rationale there).
 _SOFTMAX_NOMAX = True
-_SOFTMAX_CLAMP = 120.0
+_SOFTMAX_CLAMP = common.SOFTMAX_CLAMP
+
+# Compile-time diagnostic ablations for tools/probe_vit_ablate.py (the
+# probe_swin_ablate methodology pointed at the ViT-at-batch wall, VERDICT
+# r4 directive #1): None / "nosoftmax" / "noattn" / "nomlp" / "noquant"
+# (int8 paths: skip the per-row absmax + round/clip activation quantize,
+# cast-only).  Ablated kernels compute WRONG numerics on purpose — only a
+# probe may set this, and must restore None.
+_ABLATE = None
+
+# Batch the per-program images into one 3-D dot_general per head inside
+# _attention_rows (see its docstring).  Identical numerics.  Default OFF
+# until the interleaved A/B decides it (tools/probe_vit_batched_attn.py);
+# at bm=1 (every b1 row) both forms are the same program.
+_BATCHED_ATTN = False
 
 
 def _attention_rows(qkv, *, bm, n_pad, heads, head_dim, key_mask, scale, dtype):
@@ -75,11 +90,43 @@ def _attention_rows(qkv, *, bm, n_pad, heads, head_dim, key_mask, scale, dtype):
     fixes cannot diverge between copies.  exp2 with log2(e) folded into
     ``scale``; normalization deferred past PV (divide on [n_pad, hd]) —
     the VPU-wall optimizations measured in swin_block.py.
+
+    ``_BATCHED_ATTN``: batch the bm images of one program into a single
+    3-D dot_general per head ([bm, n_pad, hd] batch dims) instead of
+    unrolling a Python loop over images — heads*bm separate [n_pad, hd]
+    matmul pairs become ``heads`` batched ops (tiny b128: 48 -> 3 MXU
+    issues per layer).  The swin kernel measured exactly this trade
+    (per-head batched beats the unrolled per-(window, head) loop at
+    ~0.17 us/iter issue overhead); identical numerics — every reshape
+    splits/merges only the sublane-aligned leading dim (Mosaic-legal).
     """
     hd = head_dim
+    if _BATCHED_ATTN and _ABLATE is None:
+        parts = []
+        for i in range(heads):
+            q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd].reshape(bm, n_pad, hd)
+            k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd].reshape(bm, n_pad, hd)
+            v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd].reshape(bm, n_pad, hd)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * (scale * 1.4426950408889634)
+            s = jnp.where(key_mask[None], s, -1e30)
+            p, r = softmax_unnorm(s, dtype, nomax=_SOFTMAX_NOMAX,
+                                  clamp=_SOFTMAX_CLAMP)
+            o = jax.lax.dot_general(
+                p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            parts.append(o * pl.reciprocal(r, approx=False))
+        att = jnp.concatenate(parts, axis=-1)  # [bm, n_pad, heads*hd]
+        return att.reshape(bm * n_pad, heads * hd).astype(dtype)
     att_rows = []
     for j in range(bm):
         row0 = j * n_pad
+        if _ABLATE == "noattn":  # diagnostic: q columns pass through
+            att_rows.append(qkv[row0:row0 + n_pad, :heads * hd])
+            continue
         parts = []
         for i in range(heads):
             q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
@@ -89,15 +136,14 @@ def _attention_rows(qkv, *, bm, n_pad, heads, head_dim, key_mask, scale, dtype):
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * (scale * 1.4426950408889634)
             s = jnp.where(key_mask, s, -1e30)
-            if _SOFTMAX_NOMAX:
-                p = jnp.exp2(jnp.minimum(s, _SOFTMAX_CLAMP))
-                r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            if _ABLATE == "nosoftmax":
+                p, r = s, None  # diagnostic: wrong numerics
             else:
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp2(s - m)
-                r = jnp.sum(p, axis=-1, keepdims=True)
+                p, r = softmax_unnorm(s, dtype, nomax=_SOFTMAX_NOMAX,
+                                      clamp=_SOFTMAX_CLAMP)
             o = jax.lax.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
-            parts.append(o * pl.reciprocal(r, approx=False))
+            parts.append(o if r is None
+                         else o * pl.reciprocal(r, approx=False))
         att_rows.append(jnp.concatenate(parts, axis=-1))
     return jnp.concatenate(att_rows, axis=0).astype(dtype)
 
@@ -156,21 +202,22 @@ def _encoder_kernel(
         x = (attn_out + x.astype(jnp.float32)).astype(dtype)
 
     # ---- MLP sublayer ----
-    h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
-    hid = (
-        jax.lax.dot(h2, fc1_w_ref[0], preferred_element_type=jnp.float32)
-        .astype(dtype)
-        + fc1_b_ref[0]
-    )
-    hid = gelu_kernel(hid, approx_gelu).astype(dtype)
-    mlp_out = (
-        jax.lax.dot(hid, fc2_w_ref[0], preferred_element_type=jnp.float32)
-        + fc2_b_ref[0].astype(jnp.float32)
-    )
-    if reference_residual:
-        x = (mlp_out + h2.astype(jnp.float32)).astype(dtype)
-    else:
-        x = (mlp_out + x.astype(jnp.float32)).astype(dtype)
+    if _ABLATE != "nomlp":
+        h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
+        hid = (
+            jax.lax.dot(h2, fc1_w_ref[0], preferred_element_type=jnp.float32)
+            .astype(dtype)
+            + fc1_b_ref[0]
+        )
+        hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+        mlp_out = (
+            jax.lax.dot(hid, fc2_w_ref[0], preferred_element_type=jnp.float32)
+            + fc2_b_ref[0].astype(jnp.float32)
+        )
+        if reference_residual:
+            x = (mlp_out + h2.astype(jnp.float32)).astype(dtype)
+        else:
+            x = (mlp_out + x.astype(jnp.float32)).astype(dtype)
 
     x_scratch[:] = x
 
@@ -775,6 +822,8 @@ def _quant_rows_kernel(h):
     """Per-row symmetric int8 quantization (in-kernel).  Matches
     ops/quant.quantize_activation_rows."""
     hf = h.astype(jnp.float32)
+    if _ABLATE == "noquant":  # diagnostic: cast-only, no absmax/round/clip
+        return hf.astype(jnp.int8), jnp.ones((hf.shape[0], 1), jnp.float32)
     a = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
     s = jnp.where(a > 0, a / 127.0, 1.0)
     q = jnp.clip(jnp.round(hf * pl.reciprocal(s, approx=False)), -127, 127)
@@ -799,7 +848,10 @@ def _int8_mm_static(h, wq, cs, inv_a):
     ``wq``/``cs`` are VALUES (works for both streamed blocks and pipelined
     buffers)."""
     hf = h.astype(jnp.float32)
-    q = jnp.clip(jnp.round(hf * inv_a), -127, 127).astype(jnp.int8)
+    if _ABLATE == "noquant":  # diagnostic: cast-only quantize
+        q = hf.astype(jnp.int8)
+    else:
+        q = jnp.clip(jnp.round(hf * inv_a), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         q, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
@@ -864,15 +916,16 @@ def _encoder_kernel_int8(
         x = (attn_out + x.astype(jnp.float32)).astype(dtype)
 
     # ---- MLP sublayer ----
-    h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
-    hid = (mm(h2, fc1_w_ref, fc1_s_ref, 2)
-           + fc1_b_ref[0].astype(jnp.float32)).astype(dtype)
-    hid = gelu_kernel(hid, approx_gelu).astype(dtype)
-    mlp_out = mm(hid, fc2_w_ref, fc2_s_ref, 3) + fc2_b_ref[0].astype(jnp.float32)
-    if reference_residual:
-        x = (mlp_out + h2.astype(jnp.float32)).astype(dtype)
-    else:
-        x = (mlp_out + x.astype(jnp.float32)).astype(dtype)
+    if _ABLATE != "nomlp":
+        h2 = _ln(x, ln2_g_ref[0], ln2_b_ref[0], eps).astype(dtype)
+        hid = (mm(h2, fc1_w_ref, fc1_s_ref, 2)
+               + fc1_b_ref[0].astype(jnp.float32)).astype(dtype)
+        hid = gelu_kernel(hid, approx_gelu).astype(dtype)
+        mlp_out = mm(hid, fc2_w_ref, fc2_s_ref, 3) + fc2_b_ref[0].astype(jnp.float32)
+        if reference_residual:
+            x = (mlp_out + h2.astype(jnp.float32)).astype(dtype)
+        else:
+            x = (mlp_out + x.astype(jnp.float32)).astype(dtype)
 
     x_scratch[:] = x
 

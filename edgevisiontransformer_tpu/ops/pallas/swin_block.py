@@ -40,11 +40,22 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import round_up, use_interpret
+from .common import SOFTMAX_CLAMP, round_up, softmax_unnorm, use_interpret
 from .fused_encoder import _int8_mm_buf, _int8_mm_static
 from .mathlib import gelu_kernel
 
 _NEG = -1e30
+
+# Block-diagonal window packing factor for the whole-stage kernel: P
+# consecutive windows of one image share one [P*n_pad, P*n_pad] attention
+# (off-diagonal blocks masked to _NEG), trading 2x redundant score FLOPs
+# for P-fold fewer batched matmuls (per-matmul issue overhead) and fuller
+# score lanes (56 -> 112 of 128 at stage 0).  r2 measured it NEGATIVE at
+# b1 (2x padded softmax VPU traffic: softmax was the wall); the r4 nomax
+# softmax changed that wall, so the b32 claim must be MEASURED, not
+# computed (VERDICT r4 directive #3) — tools/probe_swin_pack.py sets this
+# to 2/4 for the interleaved A/B.  1 = production default.
+_PACK = 1
 _LOG2E = 1.4426950408889634
 
 # Diagnostic-only compile-time ablation for the whole-stage kernel's cost
@@ -67,9 +78,13 @@ _ABLATE = None
 # stage0 2.17 vs 2.28 (+5.1%), stage1 1.05 vs 1.13 (+7.3%), stage2 1.59 vs
 # 1.76 (+9.2%), stage3 0.37 vs 0.39 (+5.2%); whole-model b1 0.215 vs 0.224
 # (+4.2%).  Output parity vs the max-subtracting form: 4.4e-3 max-rel in
-# bf16 (rounding-level), argmax identical.
+# bf16 (rounding-level), argmax identical.  The shared dtype-aware
+# implementation (fp16-safe fallback, clamp rationale) is
+# common.softmax_unnorm; it is used by BOTH the whole-stage kernel and the
+# per-block fallback kernels, so every Swin code path shares the measured
+# softmax.
 _SOFTMAX_NOMAX = True
-_SOFTMAX_CLAMP = 120.0
+_SOFTMAX_CLAMP = SOFTMAX_CLAMP
 
 
 def _ln(x, g, b, eps):
@@ -122,9 +137,8 @@ def _swin_block_kernel(
         s = s * scale + bias_ref[i][None]
         if use_mask:
             s = s + mask_ref[:]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        r = jnp.sum(p, axis=-1, keepdims=True)
+        p, r = softmax_unnorm(s, dtype, nomax=_SOFTMAX_NOMAX,
+                              clamp=_SOFTMAX_CLAMP)
         o = jax.lax.dot_general(
             p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -204,9 +218,8 @@ def _swin_block_kernel_blocked(
             s = s * scale + bias_ref[i][None]
             if use_mask:
                 s = s + mask_ref[:]
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
-            r = jnp.sum(p, axis=-1, keepdims=True)
+            p, r = softmax_unnorm(s, dtype, nomax=_SOFTMAX_NOMAX,
+                                  clamp=_SOFTMAX_CLAMP)
             o = jax.lax.dot_general(
                 p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -347,6 +360,7 @@ def _swin_stage_kernel_pipelined(
     int8: bool = False,
     banded: bool = False,
     static_acts: bool = False,
+    pack: int = 1,
 ):
     pairs = (
         (qkv_w_hbm, qkv_buf),
@@ -434,28 +448,28 @@ def _swin_stage_kernel_pipelined(
                 .astype(dtype)
                 + qkv_b[li]
             )
+        # pack > 1: P consecutive windows share one block-diagonal
+        # attention — bias_buf/mask_ref arrive PRE-PACKED [.., P*pn, P*pn]
+        # from the launcher (off-diagonal blocks at _NEG)
+        gbp, pnp = gb // pack, pack * pn
         outs = []
         for i in range(heads if _ABLATE != "noattn" else 0):
-            q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd].reshape(gb, pn, hd)
-            k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd].reshape(gb, pn, hd)
-            v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd].reshape(gb, pn, hd)
+            q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd].reshape(gbp, pnp, hd)
+            k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd].reshape(gbp, pnp, hd)
+            v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd].reshape(gbp, pnp, hd)
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            s = s * scale + bias_buf[slot, i][:, :pn][None]
+            s = s * scale + bias_buf[slot, i][:pnp, :pnp][None]
             if use_mask:
-                s = (s.reshape(gm, nwin, pn, pn) + mask_ref[:][None]
-                     ).reshape(gb, pn, pn)
+                s = (s.reshape(gm, nwin // pack, pnp, pnp) + mask_ref[:][None]
+                     ).reshape(gbp, pnp, pnp)
             if _ABLATE == "nosoftmax":
                 p, r = s, jnp.float32(1.0)  # diagnostic: wrong numerics
-            elif _SOFTMAX_NOMAX:
-                p = jnp.exp2(jnp.minimum(s, _SOFTMAX_CLAMP))
-                r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
             else:
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp2(s - m)
-                r = jnp.sum(p, axis=-1, keepdims=True)
+                p, r = softmax_unnorm(s, dtype, nomax=_SOFTMAX_NOMAX,
+                                      clamp=_SOFTMAX_CLAMP)
             o = jax.lax.dot_general(
                 p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -712,6 +726,20 @@ def swin_stage_forward_pipelined(
         qkv_s = proj_s = fc1_s = fc2_s = jnp.zeros((depth, 1, 1), jnp.float32)
     act_inv = (stacked["act_inv"].astype(jnp.float32) if static_acts
                else jnp.ones((1, 4), jnp.float32))
+    # block-diagonal window packing (probe-gated, see _PACK): pre-pack the
+    # rel-pos bias into [L, H, P*n_pad, P*n_pad] with _NEG off-diagonals so
+    # the kernel's packed softmax rows zero the cross-window scores
+    pack = _PACK if (shifted and _PACK > 1 and nwin % _PACK == 0) else 1
+    if pack > 1:
+        bL, bH = biases.shape[0], biases.shape[1]
+        pnp = pack * n_pad
+        bp = jnp.full((bL, bH, pnp, pnp), _NEG, jnp.float32)
+        for t in range(pack):
+            sl = slice(t * n_pad, (t + 1) * n_pad)
+            bp = bp.at[:, :, sl, sl].set(
+                biases[:, :, :n_pad, :n_pad].astype(jnp.float32))
+        biases = bp
+
     # sliced HBM->VMEM DMA needs a 128-aligned lane dim; the kernel slices
     # the loaded bias back to [:, :n_pad] before use
     biases = pad_lane(biases)
@@ -721,6 +749,17 @@ def swin_stage_forward_pipelined(
         shift = window // 2
         mp = jnp.zeros((nwin, n_pad, n_pad), jnp.float32)
         mp = mp.at[:, :n, :n].set(mask.astype(jnp.float32) * _LOG2E)
+        if pack > 1:
+            # group g covers windows (pack*g + t); diagonal blocks carry
+            # each window's own shifted mask, off-diagonals stay 0 (the
+            # packed bias already holds _NEG there)
+            mpr = mp.reshape(nwin // pack, pack, n_pad, n_pad)
+            mpk = jnp.zeros((nwin // pack, pack * n_pad, pack * n_pad),
+                            jnp.float32)
+            for t in range(pack):
+                sl = slice(t * n_pad, (t + 1) * n_pad)
+                mpk = mpk.at[:, sl, sl].set(mpr[:, t])
+            mp = mpk
         if banded:
             pL, pR = stage_transition_perm_banded(res, window, shift, n_pad)
             perm = jnp.zeros((1, 1), xw.dtype)
@@ -740,7 +779,7 @@ def swin_stage_forward_pipelined(
         depth=depth, gm=gm, nwin=nwin, n_pad=n_pad, heads=heads,
         head_dim=head_dim, eps=eps, scale=head_dim**-0.5 * _LOG2E,
         approx_gelu=approx_gelu, shifted=shifted, unroll=unroll,
-        int8=int8, banded=banded, static_acts=static_acts,
+        int8=int8, banded=banded, static_acts=static_acts, pack=pack,
     )
 
     itemsize = 1 if int8 else xw.dtype.itemsize

@@ -88,6 +88,48 @@ def test_pallas_sdpa_bf16():
     )
 
 
+def test_fused_encoder_batched_attn_parity():
+    """_BATCHED_ATTN (one 3-D dot_general per head over the program's bm
+    images, the r5 issue-overhead A/B) must match the unrolled per-image
+    form exactly on a multi-image block, in both the bf16 and the static
+    int8 kernels."""
+    import edgevisiontransformer_tpu.ops.pallas.fused_encoder as fe
+    from edgevisiontransformer_tpu.models.vit import (
+        ViT,
+        deit_config,
+        fused_vit_apply,
+        fused_vit_apply_int8,
+        prepare_vit_int8_static,
+    )
+
+    cfg = deit_config("tiny").replace(
+        image_size=32, patch_size=16, dim=64, depth=2, heads=2, mlp_dim=128,
+        num_classes=10,
+    )
+    model = ViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (4, 3, 32, 32))
+    params = model.init(jax.random.key(1), x[:1])
+    sq = prepare_vit_int8_static(model, params, calib_batches=[
+        np.asarray(x, np.float32)])
+
+    assert fe._BATCHED_ATTN is False  # unrolled is the measured-on default
+    outs = {}
+    for batched in (False, True):
+        fe._BATCHED_ATTN = batched
+        try:
+            outs[batched] = (
+                np.asarray(fused_vit_apply(model, params, x), np.float32),
+                np.asarray(fused_vit_apply_int8(model, params, x, sq),
+                           np.float32),
+            )
+        finally:
+            fe._BATCHED_ATTN = False
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fully_fused_vit_matches_xla():
     """Whole-model single-kernel path == standard apply."""
     from edgevisiontransformer_tpu.models.vit import (

@@ -166,6 +166,32 @@ def test_fused_swin_apply_parity():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_stage_kernel_window_pack_parity():
+    """Block-diagonal window packing in the whole-stage kernel (_PACK=2,
+    the r4-directive b32 A/B probe path): P consecutive windows share one
+    [P*pn, P*pn] attention with _NEG off-diagonal blocks — must be exact
+    vs the unpacked kernel, including shifted blocks (their per-window
+    masks ride the packed diagonal)."""
+    from edgevisiontransformer_tpu.models.swin import fused_swin_apply
+    from edgevisiontransformer_tpu.ops.pallas import swin_block as sb
+
+    cfg = swin_config("tiny", image_size=56, embed_dim=32, depths=(2, 2),
+                      num_heads=(2, 4), num_classes=5, window_pack=1)
+    m = SwinTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 56, 56))
+    v = m.init(jax.random.key(1), x)
+    y_ref = m.apply(v, x)
+
+    assert sb._PACK == 1  # production default must stay unpacked
+    sb._PACK = 2
+    try:
+        y_packed = fused_swin_apply(m, v, x)
+    finally:
+        sb._PACK = 1
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_packed),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_stage_kernel_fori_pair_loop_parity():
     """The whole-stage kernel's lax.fori pair-loop path (unroll=False, used
     for depth-18 stages) must match the unrolled path and the XLA module
