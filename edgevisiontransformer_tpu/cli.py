@@ -512,7 +512,11 @@ def cmd_convert(argv):
     p.add_argument("--smooth-alpha", type=float, default=None,
                    help="int8 (ViT/T2T/Swin): SmoothQuant-style offline "
                         "scale migration before calibration, with this "
-                        "strength (exact float re-parameterization; try 0.5)")
+                        "strength (exact float re-parameterization). "
+                        "Measured best alpha is FAMILY-DEPENDENT: 0.5 for "
+                        "DeiT/ViT (alpha probe: 0.5 > 0.25 > 0.75), 0.25 "
+                        "for Swin (swin_tiny: 0.25 beats absmax, 0.5/0.75 "
+                        "worse) — see docs/WORKFLOWS.md quantization notes")
     args = p.parse_args(argv)
     if args.smooth_alpha is not None and args.quantization != "int8":
         raise SystemExit("--smooth-alpha applies to --quantization int8 only")
@@ -1457,17 +1461,20 @@ def cmd_latency_model(argv):
         max_heads = {"tiny": 3, "small": 6, "base": 12}[args.size]
         encs = sample_random_configs(args.n, depth, max_heads, seed=args.seed)
         suffix = "" if args.impl == "fused" else f"_{args.impl}"
-        out = args.output or f"latency_{args.size}{suffix}.csv"
+        bsuffix = "" if args.batch == 1 else f"_b{args.batch}"
+        out = args.output or f"latency_{args.size}{suffix}{bsuffix}.csv"
         measure = measure_pruned_deit(args.size, batch=args.batch,
                                       impl=args.impl, detailed=True)
         # incremental writes: a killed multi-hour collect keeps its rows;
-        # std/iters columns document each row's own noise floor
+        # std/iters columns document each row's own noise floor; the batch
+        # column lets fit pool b1+b32 rows behind the batch feature
         with open(out, "w", newline="", buffering=1) as f:
             w = csv.writer(f)
-            w.writerow(["encoding", "ms", "std_ms", "iters"])
+            w.writerow(["encoding", "ms", "std_ms", "iters", "batch"])
             for i, enc in enumerate(encs):
                 r = measure(enc)
-                w.writerow([enc, r["p50_ms"], r["std_ms"], r["iters"]])
+                w.writerow([enc, r["p50_ms"], r["std_ms"], r["iters"],
+                            args.batch])
                 print(f"[{i + 1}/{len(encs)}] {enc} {r['p50_ms']:.4f} ms "
                       f"(std {r['std_ms']:.4f}, iters {r['iters']})",
                       flush=True)
@@ -1501,9 +1508,18 @@ def cmd_latency_model(argv):
                       f"{args.max_noise:g} or missing std "
                       "(own-noise-floor gate)")
                 rows = kept
-        pred = LatencyPredictor(features=args.features, size=args.size)
         encs = [r["encoding"] for r in rows]
         ys = [float(r["ms"]) for r in rows]
+        # batch column (absent in pre-r5 csvs -> all 1): multiple distinct
+        # batches in one dataset turn on the predictor's batch feature so
+        # a single fit answers serving-throughput questions
+        batches = [int(r.get("batch") or 1) for r in rows]
+        use_batch = len(set(batches)) > 1
+        if use_batch and args.features != "physical":
+            raise SystemExit("multi-batch data needs --features physical "
+                             "(raw is the reference-parity b1 vector)")
+        pred = LatencyPredictor(features=args.features, size=args.size,
+                                batch_feature=use_batch)
         if args.features == "physical":
             # catch a forgotten --size: a config can't have more heads than
             # the size's native head count
@@ -1515,20 +1531,21 @@ def cmd_latency_model(argv):
                     f"--features physical with --size {args.size} "
                     f"(max {native} heads) but the data has configs with "
                     f"{seen} heads — pass the right --size")
-        metrics = pred.fit(encs, ys)
+        metrics = pred.fit(encs, ys, batches=batches)
         out = args.output or "latency_model.pkl"
         pred.save(out)
         if metrics:
             rmse, rmspe, rel, a5, a10, a15 = metrics
             rec = {
                 "features": args.features,
+                "batch_feature": use_batch,
                 "rmse": rmse, "rmspe_pct": rmspe, "rel_rmse": rel,
                 "acc_5pct": a5, "acc_10pct": a10, "acc_15pct": a15,
             }
             if args.cv and len(rows) >= args.cv:
                 # pooled out-of-fold metrics: steadier than one 80/20 split
                 c_rmse, c_rmspe, c_rel, c5, c10, c15 = pred.cv_metrics(
-                    encs, ys, k=args.cv)
+                    encs, ys, k=args.cv, batches=batches)
                 rec.update({
                     "cv_folds": args.cv, "cv_rmse": c_rmse,
                     "cv_rmspe_pct": c_rmspe, "cv_rel_rmse": c_rel,
@@ -1541,7 +1558,7 @@ def cmd_latency_model(argv):
         if not (args.predictor and args.encoding):
             raise SystemExit("predict needs --predictor and --encoding")
         pred = LatencyPredictor.load(args.predictor)
-        print(f"{pred.predict(args.encoding):.4f} ms")
+        print(f"{pred.predict(args.encoding, batch=args.batch):.4f} ms")
 
 
 def cmd_logscrape(argv):
@@ -1662,7 +1679,7 @@ def cmd_plot(argv):
                         best[d["name"]] = (fl / 2e9, d["ms"])  # GMACs, ms
         if not best:
             raise SystemExit(f"no plottable b{args.batch} rows in "
-                             f"{args.sweep}")
+                             f"{', '.join(args.sweep)}")
         out = draw_latency_vs_macs(
             best, args.output or "latency_macs.png",
             title=f"TPU v5e latency vs MACs (batch {args.batch})")

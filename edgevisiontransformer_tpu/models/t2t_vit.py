@@ -554,8 +554,15 @@ def calibrate_t2t_stem(model: "T2TViT", variables, batches=None,
         batches = representative_batches(
             n=n, shape=(3, cfg.image_size, cfg.image_size))
 
+    # Resolve the performer projection constants OUTSIDE the jit and thread
+    # them as arguments: closing over arrays bakes them into the HLO — the
+    # codebase's banned closed-over-array hazard class for calibration
+    # paths (CLAUDE.md; the relay rejects >~100 MB serialized programs).
+    pc1 = tok_c.get("performer1") or _perf_const(model, variables, 1)
+    pc2 = tok_c.get("performer2") or _perf_const(model, variables, 2)
+
     @jax.jit
-    def collect(v, im):
+    def collect(v, pc1, pc2, im):
         tok = v["params"]["tokens_to_token"]
         im = im.astype(cfg.dtype)
         x = unfold(im, 7, 4, 2)
@@ -564,10 +571,7 @@ def calibrate_t2t_stem(model: "T2TViT", variables, batches=None,
         xk1 = x1 @ tok["performer1"]["kqv"]["kernel"].astype(cfg.dtype)
         if "bias" in tok["performer1"]["kqv"]:
             xk1 = xk1 + tok["performer1"]["kqv"]["bias"].astype(cfg.dtype)
-        y = _performer_dispatch(
-            xk1, tok["performer1"],
-            tok_c.get("performer1") or _perf_const(model, variables, 1),
-            cfg, ts)
+        y = _performer_dispatch(xk1, tok["performer1"], pc1, cfg, ts)
         b = y.shape[0]
         y = y.reshape(b, 56, 56, ts).transpose(0, 3, 1, 2)
         y = unfold(y, 3, 2, 1)
@@ -576,17 +580,14 @@ def calibrate_t2t_stem(model: "T2TViT", variables, batches=None,
         xk2 = x2 @ tok["performer2"]["kqv"]["kernel"].astype(cfg.dtype)
         if "bias" in tok["performer2"]["kqv"]:
             xk2 = xk2 + tok["performer2"]["kqv"]["bias"].astype(cfg.dtype)
-        z = _performer_dispatch(
-            xk2, tok["performer2"],
-            tok_c.get("performer2") or _perf_const(model, variables, 2),
-            cfg, ts)
+        z = _performer_dispatch(xk2, tok["performer2"], pc2, cfg, ts)
         z = z.reshape(b, 28, 28, ts).transpose(0, 3, 1, 2)
         x3 = unfold(z, 3, 2, 1)
         return (jnp.abs(x1).max(), jnp.abs(x2).max(), jnp.abs(x3).max())
 
     run_max = None
     for im in batches:
-        m = collect(variables, jnp.asarray(im))
+        m = collect(variables, pc1, pc2, jnp.asarray(im))
         run_max = m if run_max is None else tuple(
             jnp.maximum(a, b) for a, b in zip(run_max, m))
     vals = np.asarray(jax.device_get(jnp.stack(run_max)), np.float32)

@@ -115,21 +115,43 @@ def fake_quant_act_ste(x: jax.Array, scale: float) -> jax.Array:
     (fake_quant_vit_apply_static) — the analogue of the reference FX-QAT's
     activation observers (vendor nn_pruning/modules/quantization.py), which
     weight-only QAT lacks (measured: 300-step weight-only QAT *hurts*
-    static-int8 drift while helping dynamic — BENCHMARKS qat_payoff)."""
+    static-int8 drift while helping dynamic — BENCHMARKS qat_payoff).
+    For scales that UPDATE during training use fake_quant_act (traced
+    scale) + fake_quant_vit_apply_observed instead."""
     q = jnp.clip(jnp.round(x / scale), -127, 127)
     return (q * scale).astype(x.dtype)
 
 
 def _fqa_fwd(x, scale):
-    # fwd takes the primal signature; bwd gets nondiff args first
-    return fake_quant_act_ste(x, scale), None
+    # fwd takes the primal signature; bwd gets nondiff args first.  Save
+    # the clip mask: the forward is flat where |x| > 127*scale, so standard
+    # STE zeroes the cotangent there — an identity gradient would let
+    # training push activations deeper into saturation with no corrective
+    # signal.
+    mask = jnp.abs(x / scale) <= 127.0
+    return fake_quant_act_ste(x, scale), mask
 
 
-def _fqa_bwd(scale, _, g):
-    return (g,)
+def _fqa_bwd(scale, mask, g):
+    return (jnp.where(mask, g, 0.0),)
 
 
 fake_quant_act_ste.defvjp(_fqa_fwd, _fqa_bwd)
+
+
+def fake_quant_act(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Traced-scale variant of fake_quant_act_ste: ``scale`` may be a jax
+    scalar that CHANGES during training (the live-observer QAT path —
+    custom_vjp nondiff args must be static, so a scale update there forces
+    a recompile; here it is a plain operand).  Same numerics, same
+    clip-masked STE, expressed with the stop_gradient identity:
+    forward = fq(x), backward = identity inside the clip range, 0 in the
+    saturated region (the forward is flat there)."""
+    xs = x.astype(jnp.float32) / scale
+    q = (jnp.clip(jnp.round(xs), -127, 127) * scale).astype(x.dtype)
+    mask = (jnp.abs(xs) <= 127.0).astype(x.dtype)
+    passthrough = x * mask
+    return passthrough + jax.lax.stop_gradient(q - passthrough)
 
 
 def fake_quant_vit_apply_static(model, params, act_scales, img: jax.Array):
@@ -137,22 +159,54 @@ def fake_quant_vit_apply_static(model, params, act_scales, img: jax.Array):
     deployment quantization: every encoder matmul runs fq(x; calibrated
     scale) @ fq(w) with STE grads (embeddings/head float, like the
     deployment kernels).  ``act_scales`` [depth, 4] from calibrate_vit —
-    fixed during training (calibrate once at init)."""
+    fixed during training (calibrate once at init).  Scales are threaded
+    as a traced array (not baked into the HLO), so callers may also pass
+    updated scales without a recompile."""
     import itertools
 
     cfg = model.config
     p = params["params"] if "params" in params else params
-    scales = np.asarray(act_scales, np.float32)
+    scales = jnp.asarray(act_scales, jnp.float32)
     counter = itertools.count()
 
     def mm(x_, w):
         k = next(counter)
         i, j = divmod(k, 4)
-        xq = fake_quant_act_ste(x_, float(scales[i, j]))
+        xq = fake_quant_act(x_, scales[i, j])
         return xq @ fake_quant_ste(w).astype(xq.dtype)
 
     x = _int8_encoder_blocks(cfg, p, _embed_vit(cfg, p, img), mm)
     return _vit_head(cfg, p, x)
+
+
+def fake_quant_vit_apply_observed(model, params, act_scales, img: jax.Array):
+    """Static-aware QAT forward WITH live activation observers: like
+    fake_quant_vit_apply_static, but additionally returns the per-matmul
+    batch absmax ``[depth, 4]`` this forward saw, so the training loop can
+    update the scales it trains against (EMA / running max) — the
+    reference FX-QAT behavior, whose MovingAverage observers track the
+    TRAINING batches as the weights drift
+    (vendor nn_pruning_v1/nn_pruning/modules/quantization.py).  Closes the
+    measured init-frozen-scale staleness cap (BENCHMARKS qat_payoff r4)."""
+    import itertools
+
+    cfg = model.config
+    p = params["params"] if "params" in params else params
+    scales = jnp.asarray(act_scales, jnp.float32)
+    counter = itertools.count()
+    seen = []
+
+    def mm(x_, w):
+        k = next(counter)
+        i, j = divmod(k, 4)
+        seen.append(jnp.max(jnp.abs(x_)).astype(jnp.float32))
+        xq = fake_quant_act(x_, scales[i, j])
+        return xq @ fake_quant_ste(w).astype(xq.dtype)
+
+    x = _int8_encoder_blocks(cfg, p, _embed_vit(cfg, p, img), mm)
+    logits = _vit_head(cfg, p, x)
+    return logits, jax.lax.stop_gradient(
+        jnp.stack(seen).reshape(cfg.depth, 4))
 
 
 def quantize_activation_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:

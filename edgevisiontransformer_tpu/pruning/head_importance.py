@@ -106,11 +106,28 @@ def calculate_head_importance(
     seq_len = cfg.num_patches + 1
     step = jax.jit(lambda p, x: head_importance_batch(cfg, p, x))
 
+    if mesh is not None:
+        # dp-shard each image batch over the mesh; the batch-sum inside
+        # head_importance_batch then compiles to an XLA psum across devices
+        # — the reference's NCCL all_reduce of per-rank importance
+        # (classifier_eval.py:210-215) as a sharding annotation.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("dp"))
+
+        def run(p, images):
+            x = jax.device_put(jnp.asarray(images), batch_sharding)
+            with mesh:
+                return step(p, x)
+    else:
+        def run(p, images):
+            return step(p, jnp.asarray(images))
+
     importance = np.zeros((cfg.depth, cfg.heads), np.float64)
     tot_tokens = 0
     n_examples = 0
     for images in batches:
-        importance += np.asarray(step(params, jnp.asarray(images)), np.float64)
+        importance += np.asarray(run(params, images), np.float64)
         tot_tokens += seq_len
         n_examples += images.shape[0]
 

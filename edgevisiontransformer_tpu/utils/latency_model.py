@@ -46,7 +46,8 @@ _HEAD_DIM = 64
 _N_TOKENS = 197  # 14x14 patches + cls
 
 
-def physical_features(encoding: str, size: str) -> List[float]:
+def physical_features(encoding: str, size: str,
+                      batch: Optional[int] = None) -> List[float]:
     """Derived cost-model features for one pruned config.
 
     The reference fits its RF on the raw per-layer (heads, density) vector
@@ -71,7 +72,7 @@ def physical_features(encoding: str, size: str) -> List[float]:
     per_layer_w = 2.0 * (4 * hs * _HEAD_DIM * dim + 2 * dim * mlps)  # bf16
     segments = 1 + int(np.sum(
         (hs[1:] != hs[:-1]) | (mlps[1:] != mlps[:-1])))
-    return [
+    feats = [
         float(att_macs.sum()), float(sdpa_macs.sum()),
         float(mlp_macs.sum()), float(per_layer_w.sum()),
         float(per_layer_w.max()), float(segments),
@@ -79,6 +80,14 @@ def physical_features(encoding: str, size: str) -> List[float]:
         float((per_layer_w > 12 * 2 ** 20).sum()),   # weights-resident gate
         float((per_layer_w > 16 * 2 ** 20).sum()),   # MLP-blocked gate
     ]
+    if batch is not None:
+        # serving-batch extension (r4 verdict weak #6: every dataset was
+        # b1): the batch itself (kernel dispatch flips on it: streamed vs
+        # pipelined at iters>96) and batch-scaled total MACs — the actual
+        # work the roofline prices at throughput batches
+        total_macs = float(att_macs.sum() + sdpa_macs.sum() + mlp_macs.sum())
+        feats += [float(batch), float(batch) * total_macs]
+    return feats
 
 
 def accuracy_within(y_pred, y_true, threshold: float) -> float:
@@ -126,7 +135,7 @@ class LatencyPredictor:
     """
 
     def __init__(self, features: str = "raw", size: Optional[str] = None,
-                 **rf_kwargs):
+                 batch_feature: bool = False, **rf_kwargs):
         from sklearn.ensemble import RandomForestRegressor
 
         if features not in ("raw", "physical"):
@@ -134,6 +143,9 @@ class LatencyPredictor:
         if features == "physical" and size not in _SIZE_SHAPES:
             raise ValueError("features='physical' needs size in "
                              f"{sorted(_SIZE_SHAPES)}, got {size!r}")
+        if batch_feature and features != "physical":
+            raise ValueError("batch_feature needs features='physical' "
+                             "(raw is the reference-parity b1 vector)")
         defaults = dict(
             max_depth=70, n_estimators=320, min_samples_leaf=1,
             min_samples_split=2, max_features=1.0, oob_score=False,
@@ -143,18 +155,26 @@ class LatencyPredictor:
         self.model = RandomForestRegressor(**defaults)
         self.features = features
         self.size = size
+        self.batch_feature = batch_feature
         self.fitted = False
 
-    def _featurize(self, encoding: str) -> List[float]:
+    def _featurize(self, encoding: str, batch: int = 1) -> List[float]:
         if self.features == "physical":
-            return physical_features(encoding, self.size)
+            return physical_features(
+                encoding, self.size,
+                batch=batch if self.batch_feature else None)
         return parse_features(encoding)
 
+    def _design(self, encodings: Sequence[str], batches=None):
+        if batches is None:
+            batches = [1] * len(encodings)
+        return [self._featurize(e, b) for e, b in zip(encodings, batches)]
+
     def fit(self, encodings: Sequence[str], latencies_ms: Sequence[float],
-            test_size: float = 0.2):
+            test_size: float = 0.2, batches=None):
         from sklearn.model_selection import train_test_split
 
-        X = [self._featurize(e) for e in encodings]
+        X = self._design(encodings, batches)
         y = list(latencies_ms)
         metrics = None
         if test_size and len(X) >= 5:
@@ -168,7 +188,8 @@ class LatencyPredictor:
         return metrics
 
     def cv_metrics(self, encodings: Sequence[str],
-                   latencies_ms: Sequence[float], k: int = 5):
+                   latencies_ms: Sequence[float], k: int = 5,
+                   batches=None):
         """K-fold cross-validated lat_metrics (pooled out-of-fold
         predictions).  The reference reports a single 80/20 split
         (latency_model.py:56-66); on ~100 rows that split's metrics jitter
@@ -177,7 +198,7 @@ class LatencyPredictor:
         from sklearn.base import clone
         from sklearn.model_selection import KFold
 
-        X = np.asarray([self._featurize(e) for e in encodings])
+        X = np.asarray(self._design(encodings, batches))
         y = np.asarray(list(latencies_ms), np.float64)
         preds = np.empty_like(y)
         for tr, te in KFold(n_splits=k, shuffle=True,
@@ -187,13 +208,14 @@ class LatencyPredictor:
             preds[te] = m.predict(X[te])
         return lat_metrics(preds, y)
 
-    def predict(self, encoding: str) -> float:
-        return float(self.model.predict([self._featurize(encoding)])[0])
+    def predict(self, encoding: str, batch: int = 1) -> float:
+        return float(self.model.predict([self._featurize(encoding, batch)])[0])
 
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
             pickle.dump({"model": self.model, "features": self.features,
-                         "size": self.size}, f)
+                         "size": self.size,
+                         "batch_feature": self.batch_feature}, f)
 
     @classmethod
     def load(cls, path: str) -> "LatencyPredictor":
@@ -204,10 +226,12 @@ class LatencyPredictor:
             obj.model = payload["model"]
             obj.features = payload.get("features", "raw")
             obj.size = payload.get("size")
+            obj.batch_feature = payload.get("batch_feature", False)
         else:  # pre-featurization pickles: a bare sklearn model, raw mode
             obj.model = payload
             obj.features = "raw"
             obj.size = None
+            obj.batch_feature = False
         obj.fitted = True
         return obj
 

@@ -89,6 +89,34 @@ def test_physical_features_sanity():
     assert physical_features(full_base, "base")[8] == 12.0
 
 
+def test_latency_predictor_batch_feature(tmp_path):
+    """Serving-batch extension: one fit over pooled b1+b32 rows (the r4
+    verdict's missing batch dimension) — the predictor must separate the
+    two batches for the same config, round-trip through save/load, and
+    refuse the batch feature on the reference-parity raw featurization."""
+    encs = sample_random_configs(30, depth=12, max_heads=3, seed=3)
+    # synthetic: ms = (0.1 + 0.01*sum_h) * batch-ish scaling
+    base = [0.1 + 0.01 * sum(parse_features(e)[0::2]) for e in encs]
+    all_encs = encs + encs
+    batches = [1] * 30 + [32] * 30
+    ys = base + [20 * b for b in base]
+    m = LatencyPredictor(features="physical", size="tiny",
+                         batch_feature=True, n_estimators=30)
+    m.fit(all_encs, ys, test_size=0, batches=batches)
+    p1 = m.predict(encs[0], batch=1)
+    p32 = m.predict(encs[0], batch=32)
+    assert p32 > 5 * p1, (p1, p32)
+    path = str(tmp_path / "lat_b.pkl")
+    m.save(path)
+    m2 = LatencyPredictor.load(path)
+    assert m2.batch_feature
+    assert m2.predict(encs[0], batch=32) == pytest.approx(p32)
+    # feature vector grows by exactly (batch, batch*total_macs)
+    assert len(physical_features(encs[0], "tiny", batch=32)) == 12
+    with pytest.raises(ValueError):
+        LatencyPredictor(features="raw", batch_feature=True)
+
+
 def test_latency_predictor_physical_save_load(tmp_path):
     encs = sample_random_configs(30, depth=12, max_heads=3)
     ys = [1.0 + 0.1 * sum(parse_features(e)[0::2]) for e in encs]

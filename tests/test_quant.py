@@ -422,10 +422,22 @@ def test_fake_quant_vit_apply_static_matches_deployment_and_grads():
     # LN amplifies the difference across blocks — ~1e-2 relative
     assert np.abs(got - ref).max() / denom < 2e-2
 
-    # STE: identity gradient through the activation fake-quant
+    # STE: identity gradient through the activation fake-quant inside the
+    # clip range, ZERO in the saturated region (the forward is flat there —
+    # |x| > 127*scale)
     g = jax.grad(lambda v: fake_quant_act_ste(v, 0.1).sum())(
-        jnp.array([0.33, -1.7]))
-    assert np.allclose(np.asarray(g), 1.0)
+        jnp.array([0.33, -1.7, 20.0]))
+    assert np.allclose(np.asarray(g), [1.0, 1.0, 0.0])
+
+    # traced-scale variant: same forward, same clip-masked STE, but scale
+    # is a jax operand (live-observer path — no recompile on scale update)
+    from edgevisiontransformer_tpu.ops.quant import fake_quant_act
+    v = jnp.array([0.33, -1.7, 20.0, -14.0])
+    sc = jnp.float32(0.1)
+    assert np.allclose(np.asarray(fake_quant_act(v, sc)),
+                       np.asarray(fake_quant_act_ste(v, 0.1)))
+    g2 = jax.grad(lambda t: fake_quant_act(t, sc).sum())(v)
+    assert np.allclose(np.asarray(g2), [1.0, 1.0, 0.0, 0.0])
 
     # whole-forward grads flow to the fake-quantized weights
     def loss(p):
@@ -436,3 +448,17 @@ def test_fake_quant_vit_apply_static_matches_deployment_and_grads():
     gleaf = grads["params"]["block_0"]["attn"]["qkv_kernel"]
     gn = float(jnp.linalg.norm(gleaf))
     assert np.isfinite(gn) and gn > 0
+
+    # observed variant: identical logits + a [depth, 4] batch-absmax the
+    # training loop can EMA scales from (live-observer QAT); the absmax of
+    # the qkv input must match the actual post-LN activation absmax
+    from edgevisiontransformer_tpu.ops.quant import (
+        fake_quant_vit_apply_observed,
+    )
+    lo, seen = fake_quant_vit_apply_observed(model, params, scales, x)
+    assert np.allclose(np.asarray(lo), got, atol=1e-5)
+    seen = np.asarray(seen)
+    assert seen.shape == (cfg.depth, 4) and (seen > 0).all()
+    # scales came from absmax/127 calibration on this same batch, so the
+    # observed absmax of matmul input 0 (qkv_in) ~= scales[0,0]*127
+    assert abs(seen[0, 0] / 127.0 - float(np.asarray(scales)[0, 0])) < 1e-4

@@ -43,6 +43,7 @@ import optax  # noqa: E402
 from edgevisiontransformer_tpu.cli import _build_model  # noqa: E402
 from edgevisiontransformer_tpu.ops.quant import (  # noqa: E402
     calibrate_vit,
+    fake_quant_vit_apply_observed,
     fake_quant_vit_apply_static,
     fake_quant_vit_encoder,
     int8_vit_apply,
@@ -66,6 +67,40 @@ def train(model, params, apply_fn, batches, epochs, lr, tag):
             params, opt, m = step_fn(params, opt, imgs, labels)
             k += 1
         print(f"[{tag}] epoch {ep} step {k} loss {float(m['loss']):.4f} "
+              f"({(time.time() - t0) / k:.2f} s/step)", flush=True)
+    return params
+
+
+def train_observer(model, params, batches, epochs, lr, scales0, ema, tag):
+    """Static-aware QAT with LIVE activation observers: each step trains
+    through fq(x; scales) and EMAs the scales toward that batch's absmax —
+    the reference FX-QAT MovingAverage observer (averaging_constant
+    analogue), so the scales track the weights as they drift instead of
+    staying frozen at init (the measured r4 staleness cap)."""
+    tx = optax.adamw(lr)
+
+    def loss_of(p, scales, imgs, labels):
+        logits, seen = fake_quant_vit_apply_observed(model, p, scales, imgs)
+        return cross_entropy(logits, labels), seen
+
+    @jax.jit
+    def step_fn(params, opt, scales, imgs, labels):
+        (loss, seen), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            params, scales, imgs, labels)
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        scales = (1.0 - ema) * scales + ema * (seen / 127.0)
+        return params, opt, scales, loss
+
+    opt = tx.init(params)
+    scales = jnp.asarray(scales0, jnp.float32)
+    t0, k = time.time(), 0
+    for ep in range(epochs):
+        for imgs, labels in batches:
+            params, opt, scales, loss = step_fn(params, opt, scales,
+                                                imgs, labels)
+            k += 1
+        print(f"[{tag}] epoch {ep} step {k} loss {float(loss):.4f} "
               f"({(time.time() - t0) / k:.2f} s/step)", flush=True)
     return params
 
@@ -122,6 +157,11 @@ def main():
     ap.add_argument("--eval-batches", type=int, default=8)
     ap.add_argument("--calib-batches", type=int, default=32)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--arms", nargs="+",
+                    default=["plain", "qat", "qat_static", "qat_observer"])
+    ap.add_argument("--observer-ema", type=float, default=0.05,
+                    help="EMA constant for the live-observer arm (FX-QAT "
+                    "MovingAverageObserver averaging_constant analogue)")
     args = ap.parse_args()
 
     model, in_shape = _build_model(args.model, "standard", dtype="float32")
@@ -150,22 +190,30 @@ def main():
 
     results = {"config": {k: getattr(args, k) for k in
                           ("model", "steps", "n_batches", "batch", "lr",
-                           "classes", "eval_batches", "calib_batches")}}
+                           "classes", "eval_batches", "calib_batches",
+                           "observer_ema")}}
     results["init"] = drift_stats(model, params0, eval_batches,
                                   train_batches, args.calib_batches)
     print("init drift:", json.dumps(results["init"]), flush=True)
 
-    for tag, apply_fn in (("plain", plain_apply), ("qat", qat_apply),
-                          ("qat_static", qat_static_apply)):
-        p = train(model, params0, apply_fn, train_batches, epochs,
-                  args.lr, tag)
+    arms = [a for a in ("plain", "qat", "qat_static", "qat_observer")
+            if a in args.arms]
+    named = {"plain": plain_apply, "qat": qat_apply,
+             "qat_static": qat_static_apply}
+    for tag in arms:
+        if tag == "qat_observer":
+            p = train_observer(model, params0, train_batches, epochs,
+                               args.lr, scales0, args.observer_ema, tag)
+        else:
+            p = train(model, params0, named[tag], train_batches, epochs,
+                      args.lr, tag)
         results[tag] = drift_stats(model, p, eval_batches, train_batches,
                                    args.calib_batches)
         print(f"{tag} drift:", json.dumps(results[tag]), flush=True)
 
     print(f"\n{'model':<10} {'mode':<14} {'max|dlogit|':>12} {'max rel':>9} "
           f"{'argmax agree':>13} {'train acc fp32->int8':>22}")
-    for tag in ("init", "plain", "qat", "qat_static"):
+    for tag in ["init"] + arms:
         r = results[tag]
         for m in ("dynamic_int8", "static_int8"):
             st = r[m]
