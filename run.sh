@@ -62,9 +62,10 @@ function bench_gate() {
     # warns.  Rows also feed the sweep jsonl so the published table and the
     # gate share measurements.  Re-baseline: ./run.sh bench_gate --update
     PYTHONPATH=.:$PYTHONPATH python tools/bench_gate.py \
-        --sweep-out "${SWEEP_FILE:-bench_sweep_r4.jsonl}" $OPTIONS
+        --sweep-out "${SWEEP_FILE:-bench_sweep_r5.jsonl}" $OPTIONS
     python tools/make_benchmarks_md.py bench_sweep_r3.jsonl \
-        "${SWEEP_FILE:-bench_sweep_r4.jsonl}" BENCHMARKS.md
+        bench_sweep_r4.jsonl "${SWEEP_FILE:-bench_sweep_r5.jsonl}" \
+        BENCHMARKS.md
 }
 
 function remeasure() {
@@ -73,18 +74,18 @@ function remeasure() {
     # by a table re-render.  Run with an idle host: a loaded host can
     # corrupt rounds even through the loop-delta timer.
     PYTHONPATH=.:$PYTHONPATH python tools/remeasure_rows.py \
-        "${SWEEP_FILE:-bench_sweep_r4.jsonl}" $OPTIONS
-    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl "${SWEEP_FILE:-bench_sweep_r4.jsonl}" BENCHMARKS.md
+        "${SWEEP_FILE:-bench_sweep_r5.jsonl}" $OPTIONS
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl bench_sweep_r4.jsonl "${SWEEP_FILE:-bench_sweep_r5.jsonl}" BENCHMARKS.md
 }
 
 function full_sweep() {
     # one jsonl per same-code measurement campaign (the generator keeps the
     # fastest p50 per row across sessions — only valid for identical code)
-    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py "${SWEEP_FILE:-bench_sweep_r4.jsonl}"
-    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl "${SWEEP_FILE:-bench_sweep_r4.jsonl}" BENCHMARKS.md
+    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py "${SWEEP_FILE:-bench_sweep_r5.jsonl}"
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl bench_sweep_r4.jsonl "${SWEEP_FILE:-bench_sweep_r5.jsonl}" BENCHMARKS.md
     # draw.py-style figures from the same campaign
     $CLI plot macs_accuracy --output macs_accuracy.png || true
-    $CLI plot latency_macs --sweep bench_sweep_r3.jsonl "${SWEEP_FILE:-bench_sweep_r4.jsonl}" --batch 1 \
+    $CLI plot latency_macs --sweep bench_sweep_r3.jsonl "${SWEEP_FILE:-bench_sweep_r5.jsonl}" --batch 1 \
         --output latency_macs.png || true
 }
 
@@ -96,7 +97,7 @@ function r3_pending() {
     # (the shipped csv predates the 120 ms-delta fix and is noise:
     # corr(MACs, ms) = 0.22).  Safe to re-run: the sweep jsonl keeps the
     # fastest p50 per row and quant_accuracy/latency sections override.
-    SWEEP="${SWEEP_FILE:-bench_sweep_r4.jsonl}"
+    SWEEP="${SWEEP_FILE:-bench_sweep_r5.jsonl}"
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=t2t
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=swin
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=vit
@@ -115,26 +116,30 @@ function r4_pending() {
     # the int4 weight-streaming decision probe, and the remat training
     # A/B rows (train_cases now includes deit_base b16/b64 --remat with
     # --report-memory).
-    SWEEP="${SWEEP_FILE:-bench_sweep_r4.jsonl}"
+    SWEEP="${SWEEP_FILE:-bench_sweep_r5.jsonl}"
     PYTHONPATH=.:$PYTHONPATH python tools/memory_table.py $SWEEP
     PYTHONPATH=.:$PYTHONPATH python tools/probe_int4.py || true
     PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=train
     python tools/make_benchmarks_md.py $SWEEP BENCHMARKS.md
 }
 
-function r5_pending() {
-    # Session queue behind the 2026-08-19 tunnel outage: headline
-    # regression gate, quant-accuracy table refresh (adds the SmoothQuant
-    # migration rows), and real-chip device-trace captures with the §4.4
-    # per-op-sum reconciliation printed (trace mode is unit-tested off-TPU;
-    # this records the on-hardware run).
-    SWEEP="${SWEEP_FILE:-bench_sweep_r4.jsonl}"
-    bench_gate
-    PYTHONPATH=.:$PYTHONPATH python tools/bench_sweep.py $SWEEP --only=quant_accuracy
-    python tools/make_benchmarks_md.py $SWEEP BENCHMARKS.md
-    $CLI profile --model deit_tiny --mode trace --output trace_deit_tiny.csv || true
-    $CLI profile --model deit_tiny --mode trace --kernel-mode fused \
-        --output trace_deit_tiny_fused.csv || true
+function r5_probes() {
+    # Round-5 measurement queue (VERDICT r4 directives #1/#3/#5): the
+    # image-batched-attention A/B, the ViT kernel ablation wall, the swin
+    # stage-0 b32 packing A/B, and the clean-window re-measure of the
+    # noisy CNN b32 rows.  Serialized — the TPU tunnel is single-tenant
+    # and the 1-CPU host must be otherwise idle for the timing rows.
+    SWEEP="${SWEEP_FILE:-bench_sweep_r5.jsonl}"
+    PYTHONPATH=.:$PYTHONPATH python tools/probe_vit_batched_attn.py \
+        --model deit_tiny --batch 128
+    PYTHONPATH=.:$PYTHONPATH python tools/probe_vit_ablate.py \
+        --model deit_tiny --batch 128
+    PYTHONPATH=.:$PYTHONPATH python tools/probe_swin_pack.py \
+        --size tiny --batch 32
+    PYTHONPATH=.:$PYTHONPATH python tools/remeasure_rows.py $SWEEP \
+        cnn_noisy_b32
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl \
+        bench_sweep_r4.jsonl $SWEEP BENCHMARKS.md
 }
 
 # --- profiling (reference --enable_op_profiling + analyse.py) ---------------
@@ -179,7 +184,7 @@ function sparse_e2e() {
     # convert int8 (artifact embeds the compiled config) -> benchmark +
     # quant_accuracy of the compiled model, recorded into the sweep jsonl.
     OUT=${SPARSE_E2E_DIR:-$PWD/sparse_models/e2e_tiny}
-    SWEEP=${SWEEP_FILE:-bench_sweep_r4.jsonl}
+    SWEEP=${SWEEP_FILE:-bench_sweep_r5.jsonl}
     $CLI sparse_train --model deit_tiny \
         --preset topk-hybrid-struct-layerwise-tiny \
         --synthetic 8 --steps 120 --batch 16 --final-finetune-steps 24 \
@@ -218,7 +223,7 @@ for line in open("/tmp/lat_fit.out"):
     if line.startswith("{"):
         metrics = json.loads(line)
 if metrics:
-    with open(os.environ.get("SWEEP_FILE", "bench_sweep_r4.jsonl"), "a") as f:
+    with open(os.environ.get("SWEEP_FILE", "bench_sweep_r5.jsonl"), "a") as f:
         f.write(json.dumps({"latency_predictor": metrics}) + "\n")
     print("metrics appended to the sweep jsonl")
 PYEOF
@@ -243,7 +248,7 @@ for line in open("/tmp/lat_fit_sz.out"):
         metrics = json.loads(line)
 if metrics:
     key = "latency_predictor_" + os.environ["SIZE"]
-    with open(os.environ.get("SWEEP_FILE", "bench_sweep_r4.jsonl"), "a") as f:
+    with open(os.environ.get("SWEEP_FILE", "bench_sweep_r5.jsonl"), "a") as f:
         f.write(json.dumps({key: metrics}) + "\n")
     print("metrics appended to the sweep jsonl")
 PYEOF
@@ -262,7 +267,7 @@ function data_pipeline() {
     # C++ hot loop vs native+workers); CPU-only, appends to the sweep jsonl
     PYTHONPATH=.:$PYTHONPATH python tools/data_pipeline_bench.py \
         bench_sweep_r3.jsonl
-    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl "${SWEEP_FILE:-bench_sweep_r4.jsonl}" BENCHMARKS.md
+    python tools/make_benchmarks_md.py bench_sweep_r3.jsonl bench_sweep_r4.jsonl "${SWEEP_FILE:-bench_sweep_r5.jsonl}" BENCHMARKS.md
 }
 
 if [ -z "$TASK" ] || ! declare -f "$TASK" > /dev/null; then

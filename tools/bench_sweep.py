@@ -281,10 +281,18 @@ def quant_accuracy_cases(fh):
                         "--with-mse", "--with-smooth"]),
         # batch 1 rides the already-cached b1 whole-stage compiles (a b8
         # whole-model Swin compile would be its own ~13 min cache entry;
-        # the mse mode reuses the static mode's HLO — scales are args)
-        ("swin_tiny", ["--batch", "1", "--batches", "8",
+        # the mse mode reuses the static mode's HLO — scales are args).
+        # Swin smooth-alpha 0.25: the measured per-family best (tiny probe:
+        # 0.25 beats absmax, 0.5/0.75 worse — BENCHMARKS swin_smooth_alpha)
+        ("swin_tiny", ["--batch", "1", "--batches", "32",
                        "--calib-batches", "16", "--with-mse",
-                       "--with-smooth"]),
+                       "--with-smooth", "--smooth-alpha", "0.25"]),
+        ("swin_small", ["--batch", "1", "--batches", "32",
+                        "--calib-batches", "16", "--with-mse",
+                        "--with-smooth", "--smooth-alpha", "0.25"]),
+        ("swin_base", ["--batch", "1", "--batches", "32",
+                       "--calib-batches", "16", "--with-mse",
+                       "--with-smooth", "--smooth-alpha", "0.25"]),
     ]
     out = {}
     for model, extra in cases:
