@@ -76,10 +76,25 @@ _SOFTMAX_CLAMP = common.SOFTMAX_CLAMP
 # probe may set this, and must restore None.
 _ABLATE = None
 
+# Apply the key-padding mask as one fused multiply-add (s*scale + bias_row,
+# bias_row [1, n_pad] = 0 valid / -1e30 pad) instead of a scale pass plus an
+# iota-compare-select pass over the full [n_pad, n_pad] f32 scores.  Exactly
+# identical output (valid cols add 0; pad cols land at ~-1e30 either way and
+# exp2-underflow to 0 in both softmax branches; interpret-mode parity 0.0).
+# Shipped ON after the r5 interleaved A/B (tools/probe_vit_scoreopt.py,
+# tiny b128, 3 rounds): fused 3.1950 vs 3.2554 select (-1.9%, wins all 3
+# rounds), int8_static 3.1605 vs 3.1919 (-1.0%, wins 2/3) — a small,
+# consistent VPU-pass saving.
+_SCORE_FMA = True
+
 # Batch the per-program images into one 3-D dot_general per head inside
-# _attention_rows (see its docstring).  Identical numerics.  Default OFF
-# until the interleaved A/B decides it (tools/probe_vit_batched_attn.py);
-# at bm=1 (every b1 row) both forms are the same program.
+# _attention_rows (see its docstring).  Identical numerics.  MEASURED
+# NEGATIVE at tiny b128 (tools/probe_vit_batched_attn.py, 3 interleaved
+# rounds): fused 3.51 batched vs 3.24 unrolled (+8.4%), int8_static 3.38
+# vs 3.26 (+3.7%) — at [200, 64] tiles the per-matmul issue overhead the
+# batching saves is smaller than the batched-dot_general's own relayout
+# cost (unlike swin's [56, 32] windows, where batching won).  Kept
+# selectable for future shapes; at bm=1 both forms are the same program.
 _BATCHED_ATTN = False
 
 
@@ -101,17 +116,26 @@ def _attention_rows(qkv, *, bm, n_pad, heads, head_dim, key_mask, scale, dtype):
     splits/merges only the sublane-aligned leading dim (Mosaic-legal).
     """
     hd = head_dim
+    scale2 = scale * 1.4426950408889634
+    # _SCORE_FMA: one [1, n_pad] additive bias row replaces the per-head
+    # [n_pad, n_pad] iota-compare-select (see the flag note)
+    key_bias = jnp.where(key_mask[:1], jnp.float32(0.0), jnp.float32(-1e30))
+
+    def masked_scores(s):
+        if _SCORE_FMA:
+            return s * scale2 + key_bias
+        return jnp.where(key_mask, s * scale2, -1e30)
+
     if _BATCHED_ATTN and _ABLATE is None:
         parts = []
         for i in range(heads):
             q = qkv[:, (0 * heads + i) * hd:(0 * heads + i + 1) * hd].reshape(bm, n_pad, hd)
             k = qkv[:, (1 * heads + i) * hd:(1 * heads + i + 1) * hd].reshape(bm, n_pad, hd)
             v = qkv[:, (2 * heads + i) * hd:(2 * heads + i + 1) * hd].reshape(bm, n_pad, hd)
-            s = jax.lax.dot_general(
+            s = masked_scores(jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ) * (scale * 1.4426950408889634)
-            s = jnp.where(key_mask[None], s, -1e30)
+            ))
             p, r = softmax_unnorm(s, dtype, nomax=_SOFTMAX_NOMAX,
                                   clamp=_SOFTMAX_CLAMP)
             o = jax.lax.dot_general(
@@ -132,10 +156,9 @@ def _attention_rows(qkv, *, bm, n_pad, heads, head_dim, key_mask, scale, dtype):
             q = qkv[row0:row0 + n_pad, (0 * heads + i) * hd:(0 * heads + i + 1) * hd]
             k = qkv[row0:row0 + n_pad, (1 * heads + i) * hd:(1 * heads + i + 1) * hd]
             v = qkv[row0:row0 + n_pad, (2 * heads + i) * hd:(2 * heads + i + 1) * hd]
-            s = jax.lax.dot_general(
+            s = masked_scores(jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * (scale * 1.4426950408889634)
-            s = jnp.where(key_mask, s, -1e30)
+            ))
             if _ABLATE == "nosoftmax":
                 p, r = s, None  # diagnostic: wrong numerics
             else:
