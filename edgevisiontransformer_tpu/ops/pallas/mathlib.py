@@ -44,9 +44,44 @@ def erf_poly(x: jax.Array) -> jax.Array:
     return jnp.tanh(xf * p).astype(x.dtype)
 
 
+# Tanh-free exact GELU: Phi(x) ~= 0.5 + clip(x)*P(t), t = 2*clip(x)^2/25 - 1,
+# P a degree-12 weighted-minimax Chebyshev fit (converted to monomial-in-t
+# Horner; |gelu err| <= 1.4e-6 in f32 eval, same accuracy class as the
+# tanh-erf form).  17 plain VPU ops vs the tanh form's ~9 + one hardware
+# tanh — wins only if tanh costs > ~8 elementwise passes.  MEASURED
+# NEGATIVE (tools/probe_vit_gelu.py, tiny b128, 3 interleaved rounds):
+# poly 3.760 vs tanh 3.253 fused (+15.6%), 3.693 vs 3.206 int8 (+15.2%)
+# — the VPU tanh is only ~1-2 pass-equivalents, so the 13-FMA chain is a
+# large net loss (and bounds GELU's true share of the MLP wall well below
+# the earlier ~0.35 ms estimate).  The tanh-erf form stays; the poly is
+# kept as a fallback for toolchains without a tanh lowering.
+_GELU_POLY = False
+_PB = 5.0
+_PC = (
+    0.14136378760433171, -0.07029628057749472, 0.05152052278865894,
+    -0.040442608496557085, 0.03144216521916479, -0.023268644876852672,
+    0.01640221189220709, -0.011164360769470324, 0.006410424200907841,
+    -0.002685549858701659, 0.0017228887800965576, -0.001613275686346649,
+    0.0006086931868887893,
+)
+
+
+def gelu_poly(x: jax.Array) -> jax.Array:
+    """Exact GELU via the tanh-free Phi polynomial (see _GELU_POLY note)."""
+    xf = x.astype(jnp.float32)
+    xc = jnp.clip(xf, -_PB, _PB)
+    t = xc * xc * jnp.float32(2.0 / (_PB * _PB)) - 1.0
+    p = jnp.float32(_PC[-1])
+    for c in _PC[-2::-1]:
+        p = p * t + jnp.float32(c)
+    return (xf * (0.5 + xc * p)).astype(x.dtype)
+
+
 def gelu_kernel(x: jax.Array, approx: bool) -> jax.Array:
     """GELU usable inside Pallas TPU kernels for both variants."""
     if approx:
         return jax.nn.gelu(x, approximate=True)  # tanh form lowers fine
+    if _GELU_POLY:
+        return gelu_poly(x)
     xf = x.astype(jnp.float32)
     return (0.5 * xf * (1.0 + erf_poly(xf * 0.7071067811865476))).astype(x.dtype)

@@ -136,6 +136,10 @@ function r5_probes() {
         --model deit_tiny --batch 128
     PYTHONPATH=.:$PYTHONPATH python tools/probe_swin_pack.py \
         --size tiny --batch 32
+    PYTHONPATH=.:$PYTHONPATH python tools/probe_vit_scoreopt.py \
+        --model deit_tiny --batch 128
+    PYTHONPATH=.:$PYTHONPATH python tools/probe_vit_gelu.py \
+        --model deit_tiny --batch 128
     PYTHONPATH=.:$PYTHONPATH python tools/remeasure_rows.py $SWEEP \
         cnn_noisy_b32
     python tools/make_benchmarks_md.py bench_sweep_r3.jsonl \
